@@ -1,0 +1,85 @@
+"""LinkExtract — vectorized reference extraction over Common-Crawl-style pages.
+
+The reference fetches a paper's out-edges through a paginated REST API and
+parses provider JSON into records (``src/citation_graph/restful_database.py:
+142-192``, ``src/citation_graph/semantic_scholar.py:78-110``). Here the whole
+corpus is already on disk, so extraction is a *bulk scan*: one vectorized
+pandas UDF over the ``html``/``text`` columns emits ``array<string>`` of link
+targets per page, exploded into the ``(src, dst, pos)`` edge DataFrame.
+
+Byte-identity contract (BASELINE.json ``input_hint``): for every url, the
+distributed extractor's output — both the extracted text and the ordered link
+list — equals the single-process oracle exactly. Both sides share the same
+compiled regexes and the same decode policy (utf-8, errors='replace'), so the
+invariant holds by construction and is asserted in tests/test_extract.py.
+
+No per-row Python on the Spark path: ``pandas.Series.str`` operations are
+vectorized over Arrow record batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# One spec, two consumers (UDF + oracle). Anchor-href extraction in document
+# order; text = body text with tags stripped and whitespace collapsed.
+HREF_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"')
+TAG_RE = re.compile(r"<[^>]*>")
+WS_RE = re.compile(r"\s+")
+_DECODE = ("utf-8", "replace")
+
+
+def extract_links_oracle(html: bytes | None) -> list[str]:
+    """Single-process oracle: ordered hrefs (duplicates preserved)."""
+    if html is None:
+        return []
+    return HREF_RE.findall(html.decode(*_DECODE))
+
+
+def extract_text_oracle(html: bytes | None) -> str | None:
+    """Single-process oracle: tag-stripped, whitespace-collapsed body text."""
+    if html is None:
+        return None
+    stripped = TAG_RE.sub(" ", html.decode(*_DECODE))
+    return WS_RE.sub(" ", stripped).strip()
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links(html: pd.Series) -> pd.Series:
+    """Vectorized href extraction: binary html → array<string> of targets."""
+    decoded = html.str.decode(*_DECODE)
+    return decoded.map(
+        lambda s: HREF_RE.findall(s) if s is not None else [],
+        na_action=None,
+    )
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Vectorized text extraction: strip tags, collapse whitespace."""
+    decoded = html.str.decode(*_DECODE)
+    stripped = decoded.str.replace(TAG_RE, " ", regex=True)
+    return stripped.str.replace(WS_RE, " ", regex=True).str.strip()
+
+
+def links_column(html: Column) -> Column:
+    return extract_links(html)
+
+
+def pages_to_raw_edges(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → raw edges (src, dst, pos).
+
+    ``posexplode`` preserves extraction order as ``pos`` — the ordering key
+    for the reference's per-src fan-out cap (``traverser.py:168-187``).
+    Duplicate links within a page survive here (dedup is a separate,
+    explicit operator in ``edges.build_edges``). Column pruning matters:
+    only (url, html) are read; ``html`` never crosses a shuffle — the
+    explode is map-side, and everything downstream carries strings only.
+    """
+    return pages.select(
+        F.col("url").alias("src"),
+        F.posexplode(extract_links(F.col("html"))).alias("pos", "dst"),
+    ).select("src", "dst", "pos")

@@ -1,0 +1,210 @@
+"""PageRank as join-aggregate supersteps — the engine's benchmark workload.
+
+Semantics match the standard power iteration with damping ``alpha``,
+uniform teleport, and uniform redistribution of dangling mass each
+iteration (NetworkX semantics; the reference's citation counts are the
+degree special case of this, ``src/citation_graph/traverser.py:109-116``):
+
+    r'(v) = (1-a)/n + a * ( sum_{u->v} r(u)/outdeg(u)  +  dm/n )
+    dm    = sum of r(u) over dangling u (no out-edges)
+
+Converges when the L1 delta ``sum |r' - r|`` drops below ``tol`` (1e-6 per
+the north rule).
+
+Scale shape per iteration (what runs on 1000 executors):
+- ``ranks ⋈ edges`` on ``src`` — the big side (edges) is pre-weighted,
+  pre-partitioned on ``src`` and persisted ONCE; only the small rank frame
+  shuffles each superstep. AQE skew-join splits hub-src partitions; an
+  explicit ``salt_factor`` replicates rank rows across salted edge splits
+  for deterministic hub handling.
+- ``groupBy(dst).sum()`` — partial (map-side) aggregation bounds a hub
+  dst's shuffle rows by the partition count, the built-in equivalent of
+  two-phase salted aggregation.
+- one driver-side scalar action per iteration reads BOTH the L1 delta and
+  the next iteration's dangling mass from the already-materialized state —
+  no extra pass.
+- plan lineage is truncated per iteration (localCheckpoint), durable
+  Parquet checkpoints + manifest every ``durable_every`` iterations; a
+  killed run resumes from the newest valid manifest (metrics carry the
+  dangling mass, so resume is exact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from citation_graph_spark.edges import out_degrees, vertices_of
+from citation_graph_spark.operators.superstep import SuperstepContext
+from citation_graph_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id, rank)
+    iterations: int
+    delta: float
+    converged: bool
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    durable_every: int = 5,
+    salt_factor: int = 0,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    """Run PageRank on an ``(src, dst, ...)`` edge DataFrame."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            args={
+                "algorithm": "pagerank",
+                "alpha": alpha,
+                "tol": tol,
+                "max_iter": max_iter,
+                "salt_factor": salt_factor,
+            },
+        )
+    ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
+
+    # --- static per-run tables, built once and persisted -------------------
+    verts = vertices_of(edges)
+    deg = out_degrees(edges)
+
+    # Edge weights 1/outdeg, pre-partitioned on src. Built once; every
+    # superstep reuses this exchange (the reference's "never re-fetch" cache,
+    # database.py:201-238, reborn as a persisted DataFrame).
+    w_edges = (
+        edges.select("src", "dst")
+        .join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
+    )
+    if salt_factor > 1:
+        # Hub-src splitting: each edge gets a deterministic salt from dst;
+        # the rank side replicates per salt value, so one hot src's edges
+        # spread over `salt_factor` join partitions.
+        w_edges = w_edges.withColumn(
+            "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_factor)).cast("int")
+        )
+        w_edges = w_edges.repartition(num_partitions, "src", "salt").persist()
+    else:
+        w_edges = w_edges.repartition(num_partitions, "src").persist()
+    w_edges.count()
+
+    n = verts.count()
+    if n == 0:
+        empty = verts.select(F.col("id"), F.lit(0.0).alias("rank"))
+        return PageRankResult(empty, 0, 0.0, True, [])
+
+    # (id, rank, is_dangling) — dangling flag once, carried through states.
+    flagged = verts.join(
+        deg.select(F.col("src").alias("id"), F.lit(False).alias("_has_out")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("_has_out", F.lit(True)).alias("is_dangling"))
+
+    start_iter = 0
+    dangling_mass = None
+    state = None
+    if ckpt is not None and resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            it, state_df, manifest = latest
+            if manifest.get("args", {}).get("algorithm") == "pagerank":
+                state = state_df
+                start_iter = it + 1
+                dangling_mass = float(manifest["metrics"]["dangling_mass"])
+                prev_delta = manifest["metrics"].get("delta")
+                if prev_delta is not None and float(prev_delta) < tol:
+                    # Already converged — nothing to recompute.
+                    w_edges.unpersist()
+                    return PageRankResult(
+                        state.select("id", "rank"), it, float(prev_delta), True, []
+                    )
+
+    if state is None:
+        state = flagged.select(
+            "id", F.lit(1.0 / n).alias("rank"), "is_dangling"
+        )
+        state = ctx.truncate(state, 0)
+        dangling_mass = (
+            state.where("is_dangling").agg(F.sum("rank")).first()[0] or 0.0
+        )
+        state = ctx.record(state, 0, {"dangling_mass": dangling_mass, "delta": None})
+        start_iter = 1
+
+    delta = float("inf")
+    it = start_iter - 1
+    for it in range(start_iter, max_iter + 1):
+        if salt_factor > 1:
+            salts = F.explode(F.array(*[F.lit(s) for s in range(salt_factor)]))
+            rank_side = state.select(
+                F.col("id"), F.col("rank"), salts.alias("salt")
+            )
+            joined = rank_side.join(
+                w_edges,
+                (rank_side.id == w_edges.src) & (rank_side.salt == w_edges.salt),
+            )
+        else:
+            rank_side = state.select("id", "rank")
+            joined = rank_side.join(w_edges, rank_side.id == w_edges.src)
+
+        contribs = joined.groupBy("dst").agg(
+            F.sum(F.col("rank") * F.col("w")).alias("contrib")
+        )
+
+        base = (1.0 - alpha) / n + alpha * dangling_mass / n
+        new_state = (
+            state.join(contribs, state.id == contribs.dst, "left")
+            .select(
+                state.id.alias("id"),
+                (F.lit(base) + F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "new_rank"
+                ),
+                state.rank.alias("old_rank"),
+                state.is_dangling.alias("is_dangling"),
+            )
+            .select(
+                "id",
+                F.col("new_rank").alias("rank"),
+                "is_dangling",
+                F.abs(F.col("new_rank") - F.col("old_rank")).alias("_delta"),
+            )
+        )
+        new_state = ctx.truncate(new_state, it)
+        row = new_state.agg(
+            F.sum("_delta").alias("delta"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
+        ).first()
+        delta = float(row["delta"] or 0.0)
+        dangling_mass = float(row["dm"] or 0.0)
+        state = new_state.drop("_delta")
+        state = ctx.record(
+            state, it, {"dangling_mass": dangling_mass, "delta": delta}
+        )
+        if delta < tol:
+            break
+
+    converged = delta < tol
+    if ckpt is not None:
+        # Durably record the last state (full schema, so resume still works)
+        # even when it fell between durable_every boundaries.
+        state = ctx.finish(
+            state, it, {"dangling_mass": dangling_mass, "delta": delta, "final": converged}
+        )
+    w_edges.unpersist()
+    return PageRankResult(state.select("id", "rank"), it, delta, converged, ctx.history)

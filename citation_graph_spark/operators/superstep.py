@@ -1,0 +1,77 @@
+"""Superstep loop machinery shared by every iterative algorithm.
+
+The reference's run loop is ``for depth in range(max_depth):
+_collect_papers_for_next_level(depth)`` (``src/citation_graph/traverser.py:
+132-145``) with a checkpoint after every request. Here each superstep is a
+Catalyst-planned join-aggregate over the edge table; the loop lives on the
+driver and owns exactly the things Catalyst cannot:
+
+- **plan-lineage truncation** — iterative self-joins grow the logical plan
+  without bound; each iteration's state is cut via ``localCheckpoint`` (fast,
+  cluster-memory) and, every ``durable_every`` iterations, via a durable
+  Parquet checkpoint + manifest (resumable, see ``sources.checkpoint``),
+- **convergence-driven control** — fixpoint tests (L1 delta, changed-label
+  count) are driver-side scalars; no Catalyst concept exists for them,
+- **per-iteration metrics** collection.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from citation_graph_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class SuperstepContext:
+    """Per-run iteration-state handler.
+
+    ``truncate`` must be called on the new state once per superstep; it
+    returns a frame whose lineage no longer references previous iterations.
+    """
+
+    checkpoint: CheckpointManager | None = None
+    durable_every: int = 5
+    history: list[dict[str, Any]] = field(default_factory=list)
+    _persisted: list[DataFrame] = field(default_factory=list)
+
+    def truncate(self, state: DataFrame, iteration: int) -> DataFrame:
+        """Cut plan lineage: localCheckpoint(eager) materializes the state
+        into executor storage and replaces the plan with a block scan."""
+        new_state = state.localCheckpoint(eager=True)
+        self._persisted.append(new_state)
+        return new_state
+
+    def record(
+        self,
+        state: DataFrame,
+        iteration: int,
+        metrics: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Log this iteration's metrics; durably checkpoint every
+        ``durable_every`` iterations (state must already be truncated)."""
+        self.history.append({"iteration": iteration, **(metrics or {})})
+        if (
+            self.checkpoint is not None
+            and self.durable_every > 0
+            and iteration % self.durable_every == 0
+        ):
+            return self.checkpoint.save(state, iteration, metrics)
+        return state
+
+    def finish(self, state: DataFrame, iteration: int, metrics: dict[str, Any] | None = None):
+        """Durably record the converged state (if checkpointing is on)."""
+        if self.checkpoint is not None:
+            return self.checkpoint.save(state, iteration, metrics)
+        return state
+
+    def cleanup(self) -> None:
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()

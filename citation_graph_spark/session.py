@@ -1,0 +1,109 @@
+"""SparkSession factory.
+
+One place to configure the session so tests, bench, and the driver contract
+all run with the same scale-minded defaults:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+- shuffle partitions sized to cores (local mode) — at cluster scale this is
+  overridden by ``spark.sql.shuffle.partitions`` on submit,
+- Arrow enabled for all pandas interchange (vectorized UDFs are the only
+  Python in the hot path),
+- UTC session timezone so results compare exactly against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "citation_graph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    On a real cluster the caller passes ``master=None`` and lets
+    ``spark-submit`` own it; every config here is safe under either.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    n_threads = _parse_local_threads(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = n_threads if n_threads else 200
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (``addPyFile`` — the
+    programmatic twin of ``spark-submit --py-files engine.zip``).
+
+    Without this, UDF closures that reference package functions fail to
+    unpickle on workers whenever the driver found the package via a
+    sys.path entry the workers don't share."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "citation_graph_spark_pkg.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < _newest_mtime(pkg_dir):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if not name.endswith(".py"):
+                        continue
+                    full = os.path.join(root, name)
+                    rel = os.path.join(
+                        "citation_graph_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def _newest_mtime(pkg_dir: str) -> float:
+    newest = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for name in files:
+            if name.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+    return newest
+
+
+def _parse_local_threads(master: str) -> int | None:
+    """``local[8]`` -> 8, ``local[*]`` -> os.cpu_count(), else None."""
+    if not master.startswith("local"):
+        return None
+    if "[" not in master:
+        return 1
+    inner = master[master.index("[") + 1 : master.rindex("]")]
+    if inner == "*":
+        return os.cpu_count() or 8
+    try:
+        return int(inner)
+    except ValueError:
+        return None

@@ -1,0 +1,137 @@
+"""Checkpointed, resumable iteration state.
+
+The reference snapshots its entire cache to a JSON file after every uncached
+request, with an appended run-meta header (creator, file-spec-version,
+program version, wall time, args — ``src/citation_graph/cache_manager.py:
+185-197,221-237``), and on restart validates + migrates + re-hydrates it
+(``cache_manager.py:239-329``, ``database.py:30-63``).
+
+The Spark analog: per-iteration Parquet state under ``<dir>/iter=<k>/`` plus
+a JSON manifest carrying the same lineage fields — spec version, engine
+version, args, iteration, convergence metrics, and *per-partition lineage*
+(row count per partition) so a resumed run can verify the state it loads.
+Writing Parquet (not ``df.checkpoint()``) both truncates the logical plan —
+iterative joins otherwise re-plan k joins at iteration k — and makes every
+iteration durable and resumable mid-run (north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SPEC_VERSION = 1
+# Underscore prefix: Spark's file index skips it when scanning the parquet dir.
+_MANIFEST = "_manifest.json"
+
+
+@dataclass
+class CheckpointManager:
+    """Directory-backed state store for one iterative run."""
+
+    spark: SparkSession
+    path: str
+    args: dict[str, Any] = field(default_factory=dict)
+    creator: str = "citation_graph_spark"
+
+    def _iter_dir(self, iteration: int) -> str:
+        return os.path.join(self.path, f"iter={iteration}")
+
+    def save(
+        self,
+        state: DataFrame,
+        iteration: int,
+        metrics: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Write state + manifest for ``iteration``; return the re-read frame
+        (fresh lineage rooted at the Parquet scan)."""
+        from citation_graph_spark import __version__
+
+        target = self._iter_dir(iteration)
+        # Write-to-temp + rename: ``state`` may itself be reading from
+        # ``target`` (e.g. a resumed run re-saving the iteration it loaded) —
+        # a direct overwrite would delete its own input files mid-write.
+        # Kill-safety: a dir without a manifest is skipped by ``latest()``,
+        # so any interruption in this sequence leaves a resumable store.
+        tmp = target + ".tmp"
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        state.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target):
+            import shutil
+
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+        reloaded = self.spark.read.parquet(target)
+        lineage = [
+            {"partition": int(r["pid"]), "rows": int(r["rows"])}
+            for r in (
+                reloaded.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            )
+        ]
+        manifest = {
+            "creator": self.creator,
+            "file-spec-version": SPEC_VERSION,
+            "version": __version__,
+            "time": time.time(),
+            "args": self.args,
+            "iteration": iteration,
+            "metrics": metrics or {},
+            "partitions": lineage,
+            "rows": sum(p["rows"] for p in lineage),
+            "schema": reloaded.schema.jsonValue(),
+        }
+        with open(os.path.join(target, _MANIFEST), "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        return reloaded
+
+    def iterations(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("iter=") and os.path.isfile(
+                os.path.join(self.path, name, _MANIFEST)
+            ):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def load(self, iteration: int) -> tuple[DataFrame, dict[str, Any]]:
+        """Load + validate one iteration's state (the reference's
+        validate-on-load, ``database.py:30-63``). Raises on spec mismatch or
+        row-count drift vs the recorded per-partition lineage."""
+        target = self._iter_dir(iteration)
+        with open(os.path.join(target, _MANIFEST), encoding="utf-8") as fh:
+            manifest = json.load(fh)
+        if manifest.get("file-spec-version") != SPEC_VERSION:
+            raise ValueError(
+                f"checkpoint spec {manifest.get('file-spec-version')} != {SPEC_VERSION}"
+            )
+        df = self.spark.read.parquet(target)
+        rows = df.count()
+        if rows != manifest["rows"]:
+            raise ValueError(
+                f"checkpoint corrupt: {rows} rows on disk, manifest says {manifest['rows']}"
+            )
+        return df, manifest
+
+    def latest(self) -> tuple[int, DataFrame, dict[str, Any]] | None:
+        """Newest valid iteration, or None — resume entry point. Falls back
+        to earlier iterations if the newest fails validation (a kill mid-write
+        leaves no manifest, so partially written iterations are skipped)."""
+        for iteration in reversed(self.iterations()):
+            try:
+                df, manifest = self.load(iteration)
+                return iteration, df, manifest
+            except (ValueError, OSError):
+                continue
+        return None

@@ -1,0 +1,158 @@
+"""Single-process pure-python oracles for the iterative graph algorithms.
+
+Mirrors of the engine's semantics at list-of-tuples scale — same update
+rules, same tie-breaks — used by the pytest suite to verify the distributed
+implementations exactly (allclose 1e-6 for PageRank; exact for CC/LPA/
+triangles/BFS). The BFS oracle mirrors the reference's frontier loop
+(``/root/reference/src/citation_graph/traverser.py:92-131``) with the
+deterministic min-parent tie-break documented in SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+
+def _vertices(edges):
+    vs = set()
+    for s, d in edges:
+        vs.add(s)
+        vs.add(d)
+    return vs
+
+
+def pagerank_oracle(edges, alpha=0.85, tol=1e-6, max_iter=100):
+    """Power iteration, damping, uniform dangling redistribution; stops when
+    L1 delta < tol. Returns (ranks dict, iterations)."""
+    verts = _vertices(edges)
+    n = len(verts)
+    if n == 0:
+        return {}, 0
+    outdeg = Counter(s for s, _ in edges)
+    ranks = {v: 1.0 / n for v in verts}
+    it = 0
+    for it in range(1, max_iter + 1):
+        dm = sum(r for v, r in ranks.items() if outdeg[v] == 0)
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += ranks[s] / outdeg[s]
+        base = (1.0 - alpha) / n + alpha * dm / n
+        new_ranks = {v: base + alpha * contrib[v] for v in verts}
+        delta = sum(abs(new_ranks[v] - ranks[v]) for v in verts)
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks, it
+
+
+def connected_components_oracle(edges):
+    """Undirected CC; label = min vertex id in component."""
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    verts = _vertices(edges)
+    label = {}
+    for v in verts:
+        if v in label:
+            continue
+        comp = [v]
+        seen = {v}
+        stack = [v]
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    comp.append(w)
+                    stack.append(w)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    return label
+
+
+def label_propagation_oracle(edges, max_iter=20):
+    """Synchronous LPA over the undirected graph. Initial label = own id.
+    Each round every vertex takes the most frequent label among its
+    neighbours (ties → smallest label); isolated semantics: keep own label.
+    Deterministic; stops when no label changes or max_iter."""
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    verts = _vertices(edges)
+    labels = {v: v for v in verts}
+    for it in range(1, max_iter + 1):
+        new_labels = {}
+        for v in verts:
+            if not adj[v]:
+                new_labels[v] = labels[v]
+                continue
+            counts = Counter(labels[u] for u in adj[v])
+            best = max(counts.items(), key=lambda kv: (kv[1], _neg(kv[0])))
+            new_labels[v] = best[0]
+        if new_labels == labels:
+            return labels, it
+        labels = new_labels
+    return labels, max_iter
+
+
+class _neg:
+    """Reverse-order wrapper so max() picks the smallest label on count ties
+    (works for any orderable label type)."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def __lt__(self, other):
+        return self.value > other.value
+
+
+def triangle_count_oracle(edges):
+    """Number of triangles in the undirected simple graph."""
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    count = 0
+    for u in adj:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            count += sum(1 for w in adj[u] & adj[v] if w > v)
+    return count
+
+
+def bfs_oracle(edges, root, max_depth, max_per_src=None, exclude=frozenset()):
+    """Reference frontier-expansion semantics (traverser.py:92-131):
+    level-by-level BFS from root over directed edges (src -> dst in
+    extraction order ``pos``), per-src fan-out cap applied in pos order,
+    first-wins visited set; deterministic tie-break = (depth, min parent).
+    Returns {id: (depth, parent)}."""
+    adj = defaultdict(list)
+    for s, d, p in edges:
+        adj[s].append((p, d))
+    for s in adj:
+        adj[s].sort()
+        if max_per_src is not None:
+            adj[s] = adj[s][:max_per_src]
+    visited = {root: (0, None)}
+    frontier = [root]
+    for depth in range(max_depth):
+        nxt = {}
+        for u in sorted(frontier):
+            for _, d in adj.get(u, []):
+                if d in visited or d in exclude:
+                    continue
+                if d not in nxt or u < nxt[d]:
+                    nxt[d] = u
+        for d, parent in nxt.items():
+            visited[d] = (depth + 1, parent)
+        frontier = list(nxt)
+        if not frontier:
+            break
+    return visited

@@ -1,0 +1,77 @@
+import math
+
+import pytest
+
+from citation_graph_spark import datagen
+from citation_graph_spark.operators.pagerank import pagerank
+from tests.oracles import pagerank_oracle
+
+
+def _spark_ranks(result):
+    return {r["id"]: r["rank"] for r in result.ranks.collect()}
+
+
+def _edge_list(df):
+    return [(r["src"], r["dst"]) for r in df.select("src", "dst").collect()]
+
+
+def test_cycle_uniform(spark):
+    edges = datagen.cycle_edges(spark, 10)
+    res = pagerank(edges, tol=1e-9)
+    ranks = _spark_ranks(res)
+    assert res.converged
+    for v, r in ranks.items():
+        assert math.isclose(r, 0.1, abs_tol=1e-8), (v, r)
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)
+
+
+def test_star_matches_oracle(spark):
+    edges = datagen.star_edges(spark, 20)
+    res = pagerank(edges, tol=1e-8)
+    got = _spark_ranks(res)
+    exp, _ = pagerank_oracle(_edge_list(edges), tol=1e-8)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert math.isclose(got[v], exp[v], abs_tol=1e-6), v
+    # hub 0 is dangling (no out-edges): its mass must be redistributed —
+    # total stays 1.
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+
+def test_zipf_matches_oracle(spark):
+    edges = datagen.zipf_edges(spark, n_vertices=200, n_edges=1500, seed=7).cache()
+    elist = _edge_list(edges)
+    res = pagerank(edges, tol=1e-7)
+    got = _spark_ranks(res)
+    exp, _ = pagerank_oracle(elist, tol=1e-7)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert math.isclose(got[v], exp[v], abs_tol=1e-6), v
+
+
+def test_salted_equals_unsalted(spark):
+    edges = datagen.zipf_edges(spark, n_vertices=100, n_edges=800, seed=3).cache()
+    plain = _spark_ranks(pagerank(edges, tol=1e-8))
+    salted = _spark_ranks(pagerank(edges, tol=1e-8, salt_factor=4))
+    assert set(plain) == set(salted)
+    for v in plain:
+        assert math.isclose(plain[v], salted[v], abs_tol=1e-9), v
+
+
+def test_networkx_cross_check(spark):
+    nx = pytest.importorskip("networkx")
+    pytest.importorskip("scipy")  # nx.pagerank is scipy-backed
+    # nx.DiGraph dedupes multi-edges — compare on the deduped graph.
+    edges = (
+        datagen.zipf_edges(spark, n_vertices=150, n_edges=1000, seed=11)
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+    elist = _edge_list(edges)
+    g = nx.DiGraph()
+    g.add_edges_from(elist)
+    exp = nx.pagerank(g, alpha=0.85, tol=1e-10, max_iter=200)
+    got = _spark_ranks(pagerank(edges, tol=1e-9, max_iter=200))
+    for v in exp:
+        assert math.isclose(got[v], exp[v], abs_tol=1e-6), v
