@@ -1,0 +1,109 @@
+"""Connected components — hash-min label propagation as supersteps.
+
+Semantics: over the *undirected* view of the edge table, every vertex ends
+with ``label = min(vertex id in its component)``. Exact at convergence
+(north rule), verified against a pure-python union-find oracle.
+
+The update rule is the distributed hash-min of SURVEY.md F1/A3 — "keep the
+minimum label per key", the same join-aggregate shape as the reference's
+first-wins visited-set insert (``src/citation_graph/traverser.py:97-107``):
+
+    label'(v) = min( label(v), min_{u ~ v} label(u) )
+
+Per iteration: one join of the (small) label frame against the persisted
+symmetrized edge table on ``src`` + one ``groupBy(dst).min()`` (map-side
+partial agg bounds hub fan-in), one scalar action for the changed-count
+fixpoint test. Runs in O(diameter) supersteps; state is plan-truncated per
+iteration and durably checkpointed like PageRank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from citation_graph_spark.edges import symmetrize, vertices_of
+from citation_graph_spark.operators.superstep import SuperstepContext
+from citation_graph_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class ComponentsResult:
+    labels: DataFrame  # (id, label)
+    iterations: int
+    converged: bool
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    durable_every: int = 5,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> ComponentsResult:
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            args={"algorithm": "connected_components", "max_iter": max_iter},
+        )
+    ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
+
+    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    sym.count()
+
+    start_iter = 1
+    state = None
+    if ckpt is not None and resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            it, state_df, manifest = latest
+            if manifest.get("args", {}).get("algorithm") == "connected_components":
+                if manifest["metrics"].get("changed") == 0:
+                    sym.unpersist()
+                    return ComponentsResult(state_df.select("id", "label"), it, True, [])
+                state = state_df
+                start_iter = it + 1
+
+    if state is None:
+        state = vertices_of(edges).select("id", F.col("id").alias("label"))
+        state = ctx.truncate(state, 0)
+        ctx.record(state, 0, {"changed": None})
+
+    changed = -1
+    it = start_iter - 1
+    for it in range(start_iter, max_iter + 1):
+        nbr_min = (
+            state.join(sym, state.id == sym.src)
+            .groupBy(sym.dst.alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_state = (
+            state.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("label") > F.coalesce("nbr_label", "label")).alias("_changed"),
+            )
+        )
+        new_state = ctx.truncate(new_state, it)
+        changed = new_state.where("_changed").count()
+        state = new_state.drop("_changed")
+        state = ctx.record(state, it, {"changed": changed})
+        if changed == 0:
+            break
+
+    converged = changed == 0
+    if ckpt is not None:
+        state = ctx.finish(state, it, {"changed": changed, "final": converged})
+    sym.unpersist()
+    return ComponentsResult(state.select("id", "label"), it, converged, ctx.history)

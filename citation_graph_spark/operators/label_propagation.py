@@ -1,0 +1,115 @@
+"""Synchronous label propagation (community detection) as supersteps.
+
+Rule (deterministic — north rule requires exact label parity at
+convergence): every vertex starts with its own id as label; each round a
+vertex adopts the most frequent label among its undirected neighbours,
+breaking count-ties toward the SMALLEST label; isolated vertices keep
+their label. Stops at fixpoint or ``max_iter`` (synchronous LPA can
+2-cycle on bipartite structures — the converged flag reports which).
+
+Superstep shape: labels ⋈ sym-edges on ``src`` → ``groupBy(dst, label).
+count()`` → per-dst argmax via ``max_by(struct(cnt, -label))`` — a single
+hash aggregation, no window sort. The tie-break lives in the struct
+ordering, so the whole argmax stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from citation_graph_spark.edges import symmetrize, vertices_of
+from citation_graph_spark.operators.superstep import SuperstepContext
+from citation_graph_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame  # (id, label)
+    iterations: int
+    converged: bool
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    durable_every: int = 5,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> LPAResult:
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            args={"algorithm": "label_propagation", "max_iter": max_iter},
+        )
+    ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
+
+    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    sym.count()
+
+    start_iter = 1
+    state = None
+    if ckpt is not None and resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            it, state_df, manifest = latest
+            if manifest.get("args", {}).get("algorithm") == "label_propagation":
+                if manifest["metrics"].get("changed") == 0:
+                    sym.unpersist()
+                    return LPAResult(state_df.select("id", "label"), it, True, [])
+                state = state_df
+                start_iter = it + 1
+
+    if state is None:
+        state = vertices_of(edges).select("id", F.col("id").alias("label"))
+        state = ctx.truncate(state, 0)
+        ctx.record(state, 0, {"changed": None})
+
+    changed = -1
+    it = start_iter - 1
+    for it in range(start_iter, max_iter + 1):
+        # Count neighbour labels per vertex, then a type-agnostic argmax:
+        # max count first, smallest label on ties. Two hash aggs (both with
+        # map-side partials), no window sort, works for long AND string ids.
+        counts = (
+            state.join(sym, state.id == sym.src)
+            .groupBy(sym.dst.alias("id"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        max_cnt = counts.groupBy("id").agg(F.max("cnt").alias("max_cnt"))
+        nbr_best = (
+            counts.join(max_cnt, "id")
+            .where(F.col("cnt") == F.col("max_cnt"))
+            .groupBy("id")
+            .agg(F.min("label").alias("best_label"))
+        )
+        new_state = (
+            state.join(nbr_best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("best_label", "label").alias("label"),
+                (F.coalesce("best_label", "label") != F.col("label")).alias("_changed"),
+            )
+        )
+        new_state = ctx.truncate(new_state, it)
+        changed = new_state.where("_changed").count()
+        state = new_state.drop("_changed")
+        state = ctx.record(state, it, {"changed": changed})
+        if changed == 0:
+            break
+
+    converged = changed == 0
+    if ckpt is not None:
+        state = ctx.finish(state, it, {"changed": changed, "final": converged})
+    sym.unpersist()
+    return LPAResult(state.select("id", "label"), it, converged, ctx.history)

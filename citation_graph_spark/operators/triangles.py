@@ -1,0 +1,80 @@
+"""Triangle counting via degree-ordered edge orientation — two joins total.
+
+Standard scalable construction (the "compact-forward" / degree-ordering
+scheme): orient each undirected edge from the endpoint that is smaller in
+the total order (degree, id) toward the larger. The oriented graph is
+acyclic and every vertex has out-degree O(sqrt(|E|)), which bounds the
+wedge join. Each triangle {a,b,c} with a < b < c in that order appears as
+exactly one wedge (a→b, a→c) closed by the edge (b→c):
+
+    wedges  = E' ⋈ E' on src        (pairs of out-neighbours)
+    count   = wedges ⋉ E' on (dst1 → dst2)
+
+Both joins are equi-joins on the oriented edge table, pre-partitioned on
+``src`` — sort-merge/shuffle-hash picked by Catalyst, AQE splitting any
+skewed hub partition. No iteration, no window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from citation_graph_spark.edges import symmetrize
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Undirected edges oriented by the (degree, id) total order; each
+    undirected edge appears exactly once."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "id")
+    with_deg = (
+        sym.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    )
+    return with_deg.where(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles as rows (a, b, c) — a is the (degree, id)-smallest
+    corner; each triangle exactly once."""
+    e = _oriented(edges)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).where(
+        F.col("e1.dst") != F.col("e2.dst")
+    )
+    closed = wedges.join(
+        e3,
+        (F.col("e1.dst") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
+    )
+    return closed.select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Total number of triangles in the undirected simple graph."""
+    return triangles(edges).count()
+
+
+def triangle_counts_per_vertex(edges: DataFrame) -> DataFrame:
+    """(id, triangles) — how many triangles each vertex participates in.
+    Vertices in no triangle get 0."""
+    tri = triangles(edges)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    from citation_graph_spark.edges import vertices_of
+
+    return (
+        vertices_of(edges)
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
