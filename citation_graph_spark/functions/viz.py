@@ -1,0 +1,55 @@
+"""Visualization attribute columns (node size / color).
+
+The reference computes per-node pyvis attributes on the driver
+(``utils.py:36-81``); here they are plain columns so the (small, collected)
+export frame carries them:
+
+- ``node_size`` = ``10 * log10(citation_count + 2)``, count treated as 0
+  when null (``utils.py:52-58``),
+- ``year_color``: rank the years (``get_colormap`` sorts values and maps
+  index i of m to hue ``i/m * 0.4 + 0.6``, ``utils.py:70-80``), HSV(h,1,1)
+  → hex (``utils.py:61-65``). Rank = ``dense_rank() - 1`` over year order —
+  a window, computed on the export frame only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, functions as F
+
+
+def node_size(citation_count: Column) -> Column:
+    return F.lit(10.0) * F.log10(F.coalesce(citation_count, F.lit(0)) + F.lit(2))
+
+
+def hsv_to_hex(h: Column, s: Column, v: Column) -> Column:
+    """HSV → '#RRGGBB' as pure column arithmetic (matplotlib-equivalent
+    piecewise formula)."""
+    i = F.floor(h * 6).cast("int") % 6
+    f = h * 6 - F.floor(h * 6)
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    r = (
+        F.when(i == 0, v).when(i == 1, q).when(i == 2, p)
+        .when(i == 3, p).when(i == 4, t).otherwise(v)
+    )
+    g = (
+        F.when(i == 0, t).when(i == 1, v).when(i == 2, v)
+        .when(i == 3, q).when(i == 4, p).otherwise(p)
+    )
+    b = (
+        F.when(i == 0, p).when(i == 1, p).when(i == 2, t)
+        .when(i == 3, v).when(i == 4, v).otherwise(q)
+    )
+    to255 = lambda c: (c * 255).cast("int")  # noqa: E731
+    return F.format_string("#%02X%02X%02X", to255(r), to255(g), to255(b))
+
+
+def year_color(year: Column) -> Column:
+    """Rank-based hue in [0.6, 1.0); null years get gray (HSV(0,0,0.5))."""
+    w = Window.orderBy(F.coalesce(year, F.lit(-1)))
+    m = F.count("*").over(Window.partitionBy())
+    rank = F.dense_rank().over(w) - 1
+    hue = rank / m * F.lit(0.4) + F.lit(0.6)
+    colored = hsv_to_hex(hue, F.lit(1.0), F.lit(1.0))
+    return F.when(year.isNull(), F.lit("#808080")).otherwise(colored)

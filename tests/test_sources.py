@@ -1,0 +1,95 @@
+"""Exclude-list source (test_paper.py:200-220 analog), CSV sink, checkpoint
+manager validation."""
+
+import json
+import os
+
+import pytest
+
+from citation_graph_spark.sources.checkpoint import CheckpointManager
+from citation_graph_spark.sources.exclude_list import read_exclude_list
+from citation_graph_spark.sources.sinks import CSV_COLUMNS, visited_list
+
+
+def test_exclude_list(spark, tmp_path):
+    path = tmp_path / "papers.txt"
+    path.write_text(
+        "# This file is generated for testing only. This line tests a comment\n"
+        "doi::test-id-0\n"
+        "dblp::test-id-1\n"
+        "# This is another comment test\n"
+        "arxiv::test-id-2\n"
+        "corpusid::test-id-3\n"
+        "malformed-line\n"
+        "\n"
+    )
+    parsed, malformed = read_exclude_list(spark, str(path))
+    ids = sorted(r["id"] for r in parsed.collect())
+    assert ids == [
+        "arxiv::test-id-2",
+        "corpusid::test-id-3",
+        "dblp::test-id-1",
+        "doi::test-id-0",
+    ]
+    assert [r["line"] for r in malformed.collect()] == ["malformed-line"]
+
+
+def test_visited_list_columns(spark):
+    visited = spark.createDataFrame(
+        [("p1", 0, None), ("p2", 1, "p1")], "id string, depth int, parent string"
+    )
+    vertices = spark.createDataFrame(
+        [
+            (
+                "p1",
+                {"doi": "d1"},
+                [("Jane", "Doe")],
+                2020,
+                "Root paper",
+                "http://x",
+                5,
+                {"s2": 7},
+                {"k": "v"},
+            )
+        ],
+        "id string, ids map<string,string>, "
+        "authors array<struct<forename:string,lastname:string>>, year int, "
+        "title string, url string, citation_count long, "
+        "expected_citation_count map<string,int>, meta map<string,string>",
+    )
+    out = visited_list(visited, vertices)
+    assert out.columns == CSV_COLUMNS
+    rows = out.collect()
+    assert rows[0]["Depth"] == 0
+    assert rows[0]["Id"] == "doi::d1"
+    assert rows[0]["Authors"] == "Jane Doe"
+    assert rows[0]["Received citation count"] == "s2: 7"
+    # p2 has no vertex metadata: falls back to raw id, empty strings
+    assert rows[1]["Id"] == "p2" and rows[1]["Authors"] == ""
+
+
+def test_checkpoint_roundtrip_and_validation(spark, tmp_path):
+    ck = CheckpointManager(spark, str(tmp_path / "ck"), args={"algorithm": "t"})
+    df = spark.createDataFrame([(1, 0.5), (2, 0.5)], "id long, rank double")
+    ck.save(df, 0, {"delta": 1.0})
+    ck.save(df, 1, {"delta": 0.1})
+    assert ck.iterations() == [0, 1]
+    it, loaded, manifest = ck.latest()
+    assert it == 1 and loaded.count() == 2
+    assert manifest["metrics"]["delta"] == 0.1
+    assert manifest["rows"] == 2
+    assert manifest["args"] == {"algorithm": "t"}
+
+    # corrupt the newest manifest row count → latest() falls back to iter 0
+    mpath = os.path.join(str(tmp_path / "ck"), "iter=1", "_manifest.json")
+    m = json.loads(open(mpath).read())
+    m["rows"] = 99
+    open(mpath, "w").write(json.dumps(m))
+    it2, _, _ = ck.latest()
+    assert it2 == 0
+
+    # spec version mismatch → load raises
+    m["file-spec-version"] = 999
+    open(mpath, "w").write(json.dumps(m))
+    with pytest.raises(ValueError):
+        ck.load(1)
