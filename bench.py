@@ -1,0 +1,164 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline suite at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+- ``extract``    — pages → vectorized link extraction → deduped encoded
+                   edge table (the ingest path; n_pages scales with sf)
+- ``pagerank``   — PageRank to 1e-6 L1 on a Zipfian graph scaled to sf
+                   (THE north-rule metric; edges/sec/executor derived)
+- ``cc``         — connected components on the same graph
+- ``groupagg_q1``— TPC-H-Q1-shaped agg on lineitem at sf
+- ``minhash_lsh``— MinHash+LSH near-dup over documents at sf
+- ``ann_topk``   — brute-force cosine top-k over embeddings at sf
+
+Output keys: metric/value/unit/queries/sf per the driver contract, plus
+pagerank_edges_per_sec, pagerank_iters, n_edges, cpus for BASELINE.md.
+
+``--only name[,name]`` restricts the suite (used by the N-vs-4N scaling
+run, scripts/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from citation_graph_spark.session import get_spark  # noqa: E402
+
+
+def parse_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = parse_sf(sf_dir)
+    spark = get_spark(app_name="cgs-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    from citation_graph_spark import datagen
+    from citation_graph_spark.edges import build_edges
+    from citation_graph_spark.operators.components import connected_components
+    from citation_graph_spark.operators.pagerank import pagerank
+    from citation_graph_spark.pipeline.dedup import minhash_lsh_pairs
+    from citation_graph_spark.pipeline.similarity import ann_topk_bruteforce
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name, fn):
+        if only is not None and name not in only:
+            return
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- extract: ingest path ------------------------------------------------
+    n_pages = max(2000, int(sf * 200_000))
+
+    def bench_extract():
+        pages = datagen.generate_pages(spark, n_pages, seed=42)
+        edges = build_edges(pages)
+        extras["extract_edges"] = edges.count()
+        extras["extract_pages"] = n_pages
+
+    run("extract", bench_extract)
+
+    # --- pagerank: the north-rule workload ----------------------------------
+    n_vertices = max(10_000, int(sf * 1_000_000))
+    n_edges = max(100_000, int(sf * 10_000_000))
+
+    def bench_pagerank():
+        edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=42).persist()
+        real_edges = edges.count()
+        t0 = time.time()
+        res = pagerank(edges, tol=args.tol, max_iter=100)
+        res.ranks.count()
+        dt = time.time() - t0
+        edges.unpersist()
+        extras["n_edges"] = real_edges
+        extras["pagerank_iters"] = res.iterations
+        extras["pagerank_delta"] = res.delta
+        extras["pagerank_seconds"] = round(dt, 3)
+        # single-JVM local mode = 1 executor with `cpus` cores
+        extras["pagerank_edges_per_sec"] = round(real_edges * res.iterations / dt, 1)
+
+    run("pagerank", bench_pagerank)
+
+    # --- connected components ------------------------------------------------
+    def bench_cc():
+        edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=43).persist()
+        edges.count()
+        res = connected_components(edges, max_iter=30)
+        res.labels.count()
+        extras["cc_iters"] = res.iterations
+        edges.unpersist()
+
+    run("cc", bench_cc)
+
+    # --- relational agg ------------------------------------------------------
+    def bench_q1():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                F.count("*").alias("count_order"),
+            )
+            .collect()
+        )
+
+    run("groupagg_q1", bench_q1)
+
+    # --- dedup ---------------------------------------------------------------
+    def bench_minhash():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        extras["minhash_pairs"] = minhash_lsh_pairs(docs, n=3, threshold=0.2).count()
+
+    run("minhash_lsh", bench_minhash)
+
+    # --- similarity ----------------------------------------------------------
+    def bench_ann():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % 25 == 0)
+        extras["ann_rows"] = ann_topk_bruteforce(qs, emb, k=10).count()
+
+    run("ann_topk", bench_ann)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

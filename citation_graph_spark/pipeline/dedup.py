@@ -1,0 +1,280 @@
+"""Deduplication operators for a training-data pipeline.
+
+Five families, each a ``documents``-shaped DataFrame operator:
+
+- ``exact_dedup`` — fingerprint groupBy (hash dedup); the 100 TB default.
+- ``ngram_jaccard_pairs`` — exact word-n-gram Jaccard over candidate pairs
+  *blocked on shared shingles* (an equi-join on the shingle string — no
+  custom hashing, so a DuckDB oracle can reproduce it bit-for-bit).
+- ``minhash_lsh_pairs`` — MinHash signatures (xxhash64 permutation family)
+  + LSH banding + bucket join + exact-Jaccard verification: the scale path
+  (candidate generation is linear in shingles, never all-pairs).
+- ``simhash64`` / ``simhash_pairs`` — 64-bit SimHash from token hashes;
+  near-dup = small Hamming distance, blocked on 16-bit chunks
+  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+- ``embedding_cosine_pairs`` — near-dup by embedding cosine similarity
+  (brute-force pairwise via built-in array ops; see similarity.py for the
+  top-k/ANN variants).
+
+Everything is built-in expressions — zero Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from citation_graph_spark.pipeline.text import fingerprint, tokenize
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text — keeps min doc_id (map-side
+    partial min; no window, no sort)."""
+    with_fp = docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+    keep = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep.select("doc_id"), "doc_id")
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, n_docs, min_doc_id) for duplicate groups (n_docs > 1)."""
+    return (
+        docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + exact jaccard (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    toks = tokenize(F.col(text_col))
+    # guard: sequence(1, 0) DESCENDS in Spark — short docs need an empty list
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold over
+    distinct word-n-gram sets. Candidates = pairs sharing ≥1 shingle (the
+    blocking equi-join); Jaccard is then exact: |∩| / (|A|+|B|-|∩|)."""
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig array<long>) — MinHash over the shingle set.
+
+    Permutation family: ``xxhash64(shingle, seed=i)`` for i in [0,H) — one
+    pass over the exploded shingles, H running mins aggregated at once
+    (no per-hash shuffle; the groupBy is a single hash agg)."""
+    sh = shingles(docs, n, text_col)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard.
+
+    bands × rows = num_hashes; a pair is a candidate iff some band of the
+    signature matches exactly (bucket equi-join on (band, band-hash)).
+    Candidates are then verified against the true shingle Jaccard, so the
+    output is exact (LSH only affects recall of candidate generation).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, n, threshold, text_col)
+    return candidates.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — 64-bit SimHash: for each bit, the sign of
+    the sum over tokens of ±1 by that bit of xxhash64(token). Built from
+    bitwise column expressions over the exploded token table (one shuffle)."""
+    toks = docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into 4 16-bit chunks; by pigeonhole any
+    pair within Hamming ≤ 3 shares at least one exact chunk → equi-join per
+    chunk, then exact Hamming verify via bit_count(xor)."""
+    sim = simhash64(docs, text_col)
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.chunk_no") == F.col("y.chunk_no"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns — built-in
+    ``aggregate``/``zip_with`` arithmetic, fully codegen'd."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) for pairs with cosine ≥ threshold.
+
+    Brute-force O(n²) pairwise — correct baseline for modest n; the scale
+    path buckets by LSH first (similarity.ann_lsh_topk) and verifies, same
+    shape as minhash_lsh_pairs."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_sim(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``ann_topk_bruteforce`` — exact cosine top-k per query: cross join
+  queries × corpus (queries side broadcast — it is the small side by
+  construction), built-in array arithmetic for the cosine, per-query top-k
+  via ``row_number`` window partitioned by query id. The correctness
+  baseline; O(|Q|·|C|).
+- ``ann_lsh_topk`` — random-hyperplane LSH: sign-bit signature from
+  deterministic hash-derived hyperplanes, candidates = same bucket in ≥1 of
+  ``tables`` signatures, exact cosine re-rank of candidates. The scale
+  path: the corpus is hashed once (linear), each query probes its buckets
+  instead of the full corpus. Recall < 1 by design; the top-k re-rank is
+  exact over candidates.
+
+Hyperplanes are pseudo-random but fully deterministic: a fixed-seed
+``numpy`` Philox generator keyed only by (seed, table) — no shared RNG
+state, so driver, executors, and reruns agree exactly. The signature step
+is a single Arrow-batched pandas UDF (one matrix multiply per batch);
+everything around it is built-in expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from citation_graph_spark.pipeline.dedup import cosine_sim
+
+
+def ann_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine,
+    deterministic tie-break on neighbor id. Self-matches excluded."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_sim(
+                    F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, tables: int, planes: int, seed: int = 42) -> np.ndarray:
+    """(tables, planes, dim) float64 — deterministic per (seed, table)."""
+    out = np.empty((tables, planes, dim))
+    for t in range(tables):
+        gen = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + t))
+        out[t] = gen.standard_normal((planes, dim))
+    return out
+
+
+def make_lsh_signatures_udf(dim: int, tables: int, planes: int, seed: int = 42):
+    """pandas UDF: array<float> embedding → array<int> of per-table bucket
+    ids (sign bits of hyperplane dot products, packed). One matrix multiply
+    per Arrow batch — the per-row cost is a dim×(tables·planes) GEMV."""
+    hp = _hyperplanes(dim, tables, planes, seed).reshape(tables * planes, dim)
+    weights = (2 ** np.arange(planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def lsh_signatures(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())[:, :dim].astype(np.float64)
+        bits = (mat @ hp.T >= 0).reshape(len(mat), tables, planes)
+        buckets = (bits * weights).sum(axis=2).astype("int32")
+        return pd.Series(list(buckets))
+
+    return lsh_signatures
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — approximate top-k.
+
+    Corpus hashed once into ``tables`` bucket columns (exploded to rows,
+    partitioned by (table, bucket)); queries probe the matching buckets;
+    exact cosine + window top-k over the candidate union."""
+    sig_udf = make_lsh_signatures_udf(dim, tables, planes)
+
+    def bucketize(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_id + "_v"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+
+    cq = bucketize(queries, "query_id")
+    cc = bucketize(corpus, "neighbor_id")
+    candidates = (
+        cq.join(cc, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_sim(
+                F.col("query_id_v").cast("array<double>"),
+                F.col("neighbor_id_v").cast("array<double>"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
