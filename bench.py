@@ -83,8 +83,10 @@ def main() -> int:
     run("extract", bench_extract)
 
     # --- pagerank: the north-rule workload ----------------------------------
-    n_vertices = max(10_000, int(sf * 1_000_000))
-    n_edges = max(100_000, int(sf * 10_000_000))
+    # sized so per-core work dominates fixed per-superstep costs (sf0.1 →
+    # 800k vertices, 8M edges; ~13 supersteps to 1e-6)
+    n_vertices = max(10_000, int(sf * 8_000_000))
+    n_edges = max(100_000, int(sf * 80_000_000))
 
     def bench_pagerank():
         edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=42).persist()

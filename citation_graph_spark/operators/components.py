@@ -58,7 +58,14 @@ def connected_components(
         )
     ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
 
-    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    # CSR-style layout (see pagerank.py): cache-sorted on src so each
+    # superstep's merge join re-sorts only the label frame.
+    sym = (
+        symmetrize(edges)
+        .repartition(num_partitions, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     sym.count()
 
     start_iter = 1
@@ -83,12 +90,12 @@ def connected_components(
     it = start_iter - 1
     for it in range(start_iter, max_iter + 1):
         nbr_min = (
-            state.join(sym, state.id == sym.src)
+            state.join(sym.hint("merge"), state.id == sym.src)
             .groupBy(sym.dst.alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
         new_state = (
-            state.join(nbr_min, "id", "left")
+            state.join(nbr_min.hint("merge"), "id", "left")
             .select(
                 "id",
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),

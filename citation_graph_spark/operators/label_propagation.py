@@ -54,7 +54,12 @@ def label_propagation(
         )
     ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
 
-    sym = symmetrize(edges).repartition(num_partitions, "src").persist()
+    sym = (
+        symmetrize(edges)
+        .repartition(num_partitions, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     sym.count()
 
     start_iter = 1
@@ -82,7 +87,7 @@ def label_propagation(
         # max count first, smallest label on ties. Two hash aggs (both with
         # map-side partials), no window sort, works for long AND string ids.
         counts = (
-            state.join(sym, state.id == sym.src)
+            state.join(sym.hint("merge"), state.id == sym.src)
             .groupBy(sym.dst.alias("id"), F.col("label"))
             .agg(F.count("*").alias("cnt"))
         )
@@ -94,7 +99,7 @@ def label_propagation(
             .agg(F.min("label").alias("best_label"))
         )
         new_state = (
-            state.join(nbr_best, "id", "left")
+            state.join(nbr_best.hint("merge"), "id", "left")
             .select(
                 "id",
                 F.coalesce("best_label", "label").alias("label"),

@@ -100,9 +100,16 @@ def pagerank(
         w_edges = w_edges.withColumn(
             "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_factor)).cast("int")
         )
-        w_edges = w_edges.repartition(num_partitions, "src", "salt").persist()
+        w_edges = w_edges.repartition(num_partitions, "src", "salt").sortWithinPartitions(
+            "src", "salt"
+        ).persist()
     else:
-        w_edges = w_edges.repartition(num_partitions, "src").persist()
+        # Sorted-within-partition CSR-style layout: the cached relation
+        # reports (partitioning, ordering), so every superstep's sort-merge
+        # join re-sorts ONLY the small rank side — never the edges.
+        w_edges = w_edges.repartition(num_partitions, "src").sortWithinPartitions(
+            "src"
+        ).persist()
     w_edges.count()
 
     n = verts.count()
@@ -156,12 +163,16 @@ def pagerank(
                 F.col("id"), F.col("rank"), salts.alias("salt")
             )
             joined = rank_side.join(
-                w_edges,
+                w_edges.hint("merge"),
                 (rank_side.id == w_edges.src) & (rank_side.salt == w_edges.salt),
             )
         else:
+            # hint("merge"): at |V| this size AQE would flip to a broadcast
+            # join, rebuilding a driver-side hash table EVERY superstep — a
+            # serial bottleneck; and at 10^12 scale broadcast is impossible
+            # anyway. SMJ against the cache-sorted edges shuffles only ranks.
             rank_side = state.select("id", "rank")
-            joined = rank_side.join(w_edges, rank_side.id == w_edges.src)
+            joined = rank_side.join(w_edges.hint("merge"), rank_side.id == w_edges.src)
 
         contribs = joined.groupBy("dst").agg(
             F.sum(F.col("rank") * F.col("w")).alias("contrib")
@@ -169,7 +180,7 @@ def pagerank(
 
         base = (1.0 - alpha) / n + alpha * dangling_mass / n
         new_state = (
-            state.join(contribs, state.id == contribs.dst, "left")
+            state.join(contribs.hint("merge"), state.id == contribs.dst, "left")
             .select(
                 state.id.alias("id"),
                 (F.lit(base) + F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))).alias(

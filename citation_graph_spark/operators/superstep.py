@@ -36,13 +36,23 @@ class SuperstepContext:
     checkpoint: CheckpointManager | None = None
     durable_every: int = 5
     history: list[dict[str, Any]] = field(default_factory=list)
-    _persisted: list[DataFrame] = field(default_factory=list)
+    _last: DataFrame | None = None
 
     def truncate(self, state: DataFrame, iteration: int) -> DataFrame:
         """Cut plan lineage: localCheckpoint(eager) materializes the state
-        into executor storage and replaces the plan with a block scan."""
+        into executor storage and replaces the plan with a block scan.
+
+        The PREVIOUS iteration's blocks are unpersisted here — the new
+        state is already materialized, so nothing references them. Without
+        this, accumulated block churn degrades per-iteration time several-
+        fold within ~10 supersteps (measured)."""
         new_state = state.localCheckpoint(eager=True)
-        self._persisted.append(new_state)
+        if self._last is not None:
+            try:
+                self._last.unpersist()
+            except Exception:
+                pass
+        self._last = new_state
         return new_state
 
     def record(
@@ -69,9 +79,9 @@ class SuperstepContext:
         return state
 
     def cleanup(self) -> None:
-        for df in self._persisted:
+        if self._last is not None:
             try:
-                df.unpersist()
+                self._last.unpersist()
             except Exception:
                 pass
-        self._persisted.clear()
+            self._last = None
