@@ -84,15 +84,22 @@ def main() -> int:
 
     # --- pagerank: the north-rule workload ----------------------------------
     # sized so per-core work dominates fixed per-superstep costs (sf0.1 →
-    # 800k vertices, 8M edges; ~13 supersteps to 1e-6)
-    n_vertices = max(10_000, int(sf * 8_000_000))
-    n_edges = max(100_000, int(sf * 80_000_000))
+    # 800k vertices, 8M edges; ~13 supersteps to 1e-6). The scaling run
+    # overrides via env to a graph large enough that parallelism, not
+    # per-superstep latency, dominates.
+    n_vertices = int(os.environ.get("SPARK_GRAFT_BENCH_VERTICES", 0)) or max(
+        10_000, int(sf * 8_000_000)
+    )
+    n_edges = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", 0)) or max(
+        100_000, int(sf * 80_000_000)
+    )
 
     def bench_pagerank():
+        max_iter = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITER", "100"))
         edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=42).persist()
         real_edges = edges.count()
         t0 = time.time()
-        res = pagerank(edges, tol=args.tol, max_iter=100)
+        res = pagerank(edges, tol=args.tol, max_iter=max_iter)
         res.ranks.count()
         dt = time.time() - t0
         edges.unpersist()
@@ -102,6 +109,15 @@ def main() -> int:
         extras["pagerank_seconds"] = round(dt, 3)
         # single-JVM local mode = 1 executor with `cpus` cores
         extras["pagerank_edges_per_sec"] = round(real_edges * res.iterations / dt, 1)
+        # steady-state superstep throughput: median per-iteration wall,
+        # excluding iteration 1 (cache warm-up) — the scaling metric
+        iter_secs = sorted(
+            h["seconds"] for h in res.history if h.get("seconds") and h["iteration"] > 1
+        )
+        if iter_secs:
+            med = iter_secs[len(iter_secs) // 2]
+            extras["pagerank_iter_seconds_median"] = med
+            extras["pagerank_steady_edges_per_sec"] = round(real_edges / med, 1)
 
     run("pagerank", bench_pagerank)
 

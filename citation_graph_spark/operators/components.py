@@ -44,7 +44,15 @@ def connected_components(
     durable_every: int = 5,
     resume: bool = True,
     num_partitions: int | None = None,
+    algorithm: str = "hash_min",
 ) -> ComponentsResult:
+    """``algorithm``: ``hash_min`` (O(diameter) supersteps — right for
+    short-diameter web graphs) or ``two_star`` (alternating large-star /
+    small-star, O(log n) rounds — right for long-diameter graphs)."""
+    if algorithm == "two_star":
+        return _two_star(edges, max_iter, num_partitions)
+    if algorithm != "hash_min":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -114,3 +122,93 @@ def connected_components(
         state = ctx.finish(state, it, {"changed": changed, "final": converged})
     sym.unpersist()
     return ComponentsResult(state.select("id", "label"), it, converged, ctx.history)
+
+
+# ---------------------------------------------------------------------------
+# alternating large-star / small-star (Kiveris et al., "Connected Components
+# in MapReduce and Beyond") — O(log n) rounds, the long-diameter scale path
+# ---------------------------------------------------------------------------
+
+
+def _two_star(
+    edges: DataFrame, max_iter: int, num_partitions: int | None
+) -> ComponentsResult:
+    """Alternating star rounds over parent pointers.
+
+    State: a directed pointer set P = {(u, parent)}. One round =
+    large-star (hang strictly-larger neighbours under the neighbourhood
+    min) then small-star (hang not-larger neighbours + self under it).
+    Converges when the pointer set is a fixpoint (a forest of depth-1
+    stars rooted at component minima). Each phase is one groupBy + one
+    join — O(log n) rounds total regardless of diameter.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ctx = SuperstepContext()
+
+    # initial pointers: undirected neighbour pairs, both directions
+    pairs = symmetrize(edges).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    state = ctx.truncate(pairs.repartition(num_partitions, "u"), 0)
+    verts = vertices_of(edges).persist()
+
+    def large_star(p: DataFrame) -> DataFrame:
+        # Γ(u) is the SYMMETRIC neighbourhood (each edge contributes both
+        # directions); m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for every
+        # strictly-larger neighbour v. All outputs point big → small.
+        sym = p.select("u", "v").unionByName(
+            p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(p: DataFrame) -> DataFrame:
+        # orient every edge big → small, group by the big end, hang the
+        # small neighbours + self under the minimum.
+        le = p.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        m = le.groupBy("u").agg(F.min("v").alias("m"))
+        hang_nbrs = (
+            le.join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        hang_self = m.select(F.col("u"), F.col("m").alias("v"))
+        return hang_nbrs.unionByName(hang_self).distinct()
+
+    def checksum(p: DataFrame):
+        row = p.agg(
+            F.count("*").alias("n"),
+            # decimal sum: long would overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sum = checksum(state)
+    it = 0
+    converged = False
+    for it in range(1, max_iter + 1):
+        state = ctx.truncate(small_star(large_star(state)), it)
+        cur_sum = checksum(state)
+        ctx.history.append({"iteration": it, "pointers": cur_sum[0]})
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+
+    # at fixpoint every pointer is (u, component_min); centers point to self
+    labels = state.where(F.col("v") <= F.col("u")).groupBy("u").agg(
+        F.min("v").alias("label")
+    )
+    result = (
+        verts.join(labels.withColumnRenamed("u", "id"), "id", "left")
+        .select("id", F.coalesce("label", "id").alias("label"))
+    )
+    verts.unpersist()
+    return ComponentsResult(result, it, converged, ctx.history)

@@ -154,9 +154,12 @@ def pagerank(
         state = ctx.record(state, 0, {"dangling_mass": dangling_mass, "delta": None})
         start_iter = 1
 
+    import time as _time
+
     delta = float("inf")
     it = start_iter - 1
     for it in range(start_iter, max_iter + 1):
+        _t_iter = _time.time()
         if salt_factor > 1:
             salts = F.explode(F.array(*[F.lit(s) for s in range(salt_factor)]))
             rank_side = state.select(
@@ -205,7 +208,13 @@ def pagerank(
         dangling_mass = float(row["dm"] or 0.0)
         state = new_state.drop("_delta")
         state = ctx.record(
-            state, it, {"dangling_mass": dangling_mass, "delta": delta}
+            state,
+            it,
+            {
+                "dangling_mass": dangling_mass,
+                "delta": delta,
+                "seconds": round(_time.time() - _t_iter, 3),
+            },
         )
         if delta < tol:
             break
