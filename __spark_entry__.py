@@ -213,6 +213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_sessionize(spark, sf):
+        from citation_graph_spark.pipeline.events import session_stats
+
+        return session_stats(_t(spark, sf, "events"), gap_minutes=30)
+
     def q_token_count(spark, sf):
         from citation_graph_spark.pipeline.text import token_count
 
@@ -261,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_connected_components(spark, sf):
         return connected_components(_edges(spark, sf)).labels
 
+    def q_cc_two_star(spark, sf):
+        return connected_components(_edges(spark, sf), algorithm="two_star").labels
+
     def q_label_propagation(spark, sf):
         return label_propagation(_edges(spark, sf), max_iter=5).labels
 
@@ -303,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_norm": q_title_norm,
         "canonical_id": q_canonical_id,
         "events_agg": q_events_agg,
+        "sessionize": q_sessionize,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "doc_profile": q_doc_profile,
@@ -313,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
+        "cc_two_star": q_cc_two_star,
         "label_propagation": q_label_propagation,
         "triangles": q_triangles,
         "minhash_lsh": q_minhash_lsh,
@@ -445,6 +455,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                               OR epoch(ts) - lag(epoch(ts)) OVER w > 30 * 60
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM numbered GROUP BY user_id, session_id""",
         "token_count": f"""
             SELECT doc_id, len({_TOKENS_EXPR}) AS n_tokens FROM documents""",
         "fingerprint": """
