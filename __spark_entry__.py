@@ -218,6 +218,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return session_stats(_t(spark, sf, "events"), gap_minutes=30)
 
+    def q_point_lookup(spark, sf):
+        # S1: root-record point lookup (filter pushed to the parquet scan)
+        d = _t(spark, sf, "documents")
+        return d.where(F.col("doc_id") == 42).select("doc_id", "lang", "source", "n_chars")
+
+    def q_asof_join(spark, sf):
+        # backward as-of: each 'click' event gets the latest prior-or-equal
+        # 'view' value for the same user
+        from citation_graph_spark.operators.asof import as_of_join
+
+        e = _t(spark, sf, "events")
+        clicks = e.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+        )
+        views = (
+            e.where(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.round(F.max("value"), 4).alias("view_value"))
+        )
+        out = as_of_join(clicks, views, ts="ts", by="user_id", value_cols=["view_value"])
+        return out.select(
+            "event_id", "user_id", "ts", "value",
+            F.col("view_value_asof").alias("last_view_value"),
+        )
+
+    def q_percentiles(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+
+    def q_pivot(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.round(F.sum("l_quantity"), 4))
+            .select(
+                "l_returnflag",
+                F.col("O").alias("qty_o"),
+                F.col("F").alias("qty_f"),
+            )
+        )
+
+    def q_rollup(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        )
+
     def q_token_count(spark, sf):
         from citation_graph_spark.pipeline.text import token_count
 
@@ -312,6 +365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_id": q_canonical_id,
         "events_agg": q_events_agg,
         "sessionize": q_sessionize,
+        "point_lookup": q_point_lookup,
+        "asof_join": q_asof_join,
+        "percentiles": q_percentiles,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "doc_profile": q_doc_profile,
@@ -474,6 +532,37 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM numbered GROUP BY user_id, session_id""",
+        "point_lookup": """
+            SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts, round(value, 4) AS value
+              FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, ts, round(max(value), 4) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   v.view_value AS last_view_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag""",
+        "pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f
+            FROM lineitem GROUP BY l_returnflag""",
+        "rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n, round(sum(o_totalprice), 4) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "token_count": f"""
             SELECT doc_id, len({_TOKENS_EXPR}) AS n_tokens FROM documents""",
         "fingerprint": """
