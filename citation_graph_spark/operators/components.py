@@ -196,7 +196,7 @@ def _two_star(
     for it in range(1, max_iter + 1):
         state = ctx.truncate(small_star(large_star(state)), it)
         cur_sum = checksum(state)
-        ctx.history.append({"iteration": it, "pointers": cur_sum[0]})
+        ctx.record(state, it, {"pointers": cur_sum[0]})
         if cur_sum == prev_sum:
             converged = True
             break

@@ -37,21 +37,22 @@ class SuperstepContext:
     durable_every: int = 5
     history: list[dict[str, Any]] = field(default_factory=list)
     _last: DataFrame | None = None
+    _pending_unpersist: DataFrame | None = None
 
     def truncate(self, state: DataFrame, iteration: int) -> DataFrame:
-        """Cut plan lineage: localCheckpoint(eager) materializes the state
-        into executor storage and replaces the plan with a block scan.
+        """Cut plan lineage via LAZY localCheckpoint: the caller's next
+        action (every operator runs its convergence aggregate right after)
+        materializes the blocks in the SAME job — one job per superstep
+        instead of two.
 
-        The PREVIOUS iteration's blocks are unpersisted here — the new
-        state is already materialized, so nothing references them. Without
-        this, accumulated block churn degrades per-iteration time several-
-        fold within ~10 supersteps (measured)."""
-        new_state = state.localCheckpoint(eager=True)
-        if self._last is not None:
-            try:
-                self._last.unpersist()
-            except Exception:
-                pass
+        The previous iteration's blocks are released in ``record`` (i.e.
+        only after the new state is materialized): a localCheckpoint plan
+        is not recomputable, so unpersisting the parent before the child
+        materializes would lose data. Leaving superseded blocks cached is
+        not an option either — block churn degrades iteration time
+        severalfold within ~10 supersteps (measured)."""
+        new_state = state.localCheckpoint(eager=False)
+        self._pending_unpersist = self._last
         self._last = new_state
         return new_state
 
@@ -61,8 +62,15 @@ class SuperstepContext:
         iteration: int,
         metrics: dict[str, Any] | None = None,
     ) -> DataFrame:
-        """Log this iteration's metrics; durably checkpoint every
-        ``durable_every`` iterations (state must already be truncated)."""
+        """Log this iteration's metrics; release the superseded iteration's
+        blocks (the caller has materialized ``state`` by now); durably
+        checkpoint every ``durable_every`` iterations."""
+        if self._pending_unpersist is not None:
+            try:
+                self._pending_unpersist.unpersist()
+            except Exception:
+                pass
+            self._pending_unpersist = None
         self.history.append({"iteration": iteration, **(metrics or {})})
         if (
             self.checkpoint is not None
