@@ -1,0 +1,92 @@
+"""High-level programmatic API — the reference's entry point 2.
+
+The reference exposes ``main(**kwargs)`` (``citation_graph.py:379-384``);
+the engine's equivalent is an object wrapping a pages table / edge
+DataFrame with the full algorithm surface:
+
+    g = LinkGraph.from_pages(pages_df, max_per_src=300)
+    g.out_degrees()                 # A1
+    g.pagerank(tol=1e-6)            # north-rule workload (resumable)
+    g.connected_components()        # hash-min or two_star
+    g.label_propagation()
+    g.triangle_count()
+    g.bfs("https://...", max_depth=2, exclude=...)
+
+The wrapped edge DataFrame is built ONCE (dedup, cap, partitioned on src)
+and shared by every algorithm — the reference's response cache reborn.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from citation_graph_spark import edges as E
+
+
+@dataclass
+class LinkGraph:
+    edges: DataFrame  # (src, dst[, pos])
+
+    @classmethod
+    def from_pages(
+        cls,
+        pages: DataFrame,
+        max_per_src: int | None = None,
+        encode: str = "none",
+        num_partitions: int | None = None,
+    ) -> "LinkGraph":
+        return cls(
+            E.build_edges(
+                pages, max_per_src=max_per_src, encode=encode, num_partitions=num_partitions
+            )
+        )
+
+    def cache(self) -> "LinkGraph":
+        self.edges = self.edges.persist()
+        return self
+
+    # --- degrees ------------------------------------------------------------
+    def out_degrees(self) -> DataFrame:
+        return E.out_degrees(self.edges)
+
+    def in_degrees(self) -> DataFrame:
+        return E.in_degrees(self.edges)
+
+    def degrees(self) -> DataFrame:
+        return E.degrees(self.edges)
+
+    def vertices(self) -> DataFrame:
+        return E.vertices_of(self.edges)
+
+    # --- algorithms -----------------------------------------------------------
+    def pagerank(self, **kwargs):
+        from citation_graph_spark.operators.pagerank import pagerank
+
+        return pagerank(self.edges, **kwargs)
+
+    def connected_components(self, **kwargs):
+        from citation_graph_spark.operators.components import connected_components
+
+        return connected_components(self.edges, **kwargs)
+
+    def label_propagation(self, **kwargs):
+        from citation_graph_spark.operators.label_propagation import label_propagation
+
+        return label_propagation(self.edges, **kwargs)
+
+    def triangle_count(self) -> int:
+        from citation_graph_spark.operators.triangles import triangle_count
+
+        return triangle_count(self.edges)
+
+    def triangle_counts(self) -> DataFrame:
+        from citation_graph_spark.operators.triangles import triangle_counts_per_vertex
+
+        return triangle_counts_per_vertex(self.edges)
+
+    def bfs(self, root, max_depth: int, **kwargs):
+        from citation_graph_spark.operators.bfs import bfs_expand
+
+        return bfs_expand(self.edges, root=root, max_depth=max_depth, **kwargs)
