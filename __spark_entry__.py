@@ -309,7 +309,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = emb.where(F.col("vec_id") % 25 == 0)
         return ann_topk_bruteforce(qs, emb, k=3)
 
-    # ----- not SQL-expressible (rows-only checks; pytest-verified) ---------
+    # ----- iterative / hash-based ops ---------------------------------------
+    # triangles and bfs DO have oracle SQL (3-way self-join; bounded recursive
+    # CTE). The rest are rows-only by necessity, each pytest-verified against
+    # a pure-python oracle:
+    #  - pagerank/connected_components/cc_two_star/label_propagation: fixpoint
+    #    iterations with data-dependent trip counts — not expressible as one
+    #    DuckDB statement (recursive CTEs can't carry the float state /
+    #    per-iteration dangling-mass redistribution). tests/test_pagerank.py
+    #    asserts allclose(1e-9) vs networkx-style python PageRank;
+    #    tests/test_graph_algos.py asserts exact component/label matches.
+    #  - minhash_lsh/simhash/ann_lsh: outputs depend on xxhash64 bit patterns
+    #    — no DuckDB equivalent hash; tests assert recall/precision against
+    #    the exact operators and planted near-dup pairs.
 
     def q_pagerank(spark, sf):
         edges = _edges(spark, sf).cache()
@@ -513,6 +525,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
+        # CASTs to BIGINT: DuckDB's windowed sum() / count(*) produce HUGEINT
+        # (int128) where Spark produces BIGINT — values identical, but the
+        # driver's value hash is type-sensitive (round-1 red cell).
         "sessionize": """
             WITH s AS (
               SELECT user_id, ts, event_id, value,
@@ -524,13 +539,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             numbered AS (
               SELECT user_id, ts, value,
-                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM s
             )
             SELECT user_id, session_id,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+                   CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
             FROM numbered GROUP BY user_id, session_id""",
         "point_lookup": """
             SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
@@ -637,4 +652,66 @@ def oracle_sql() -> dict[str, str]:
             FROM v q JOIN v c ON q.vec_id <> c.vec_id
             WHERE q.vec_id % 25 = 0
             QUALIFY rank <= 3""",
+        # Triangle counts: same degree-ordered orientation as
+        # operators/triangles.py — symmetrize, orient each undirected edge by
+        # the (degree, id) total order, wedge join + closing-edge semi-join.
+        "triangles": f"""{_EDGES_CTE},
+            d AS (
+              SELECT src, dst FROM (
+                SELECT src, dst FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM edges
+              ) WHERE src <> dst GROUP BY src, dst
+            ),
+            deg AS (SELECT src AS id, count(*) AS deg FROM d GROUP BY src),
+            o AS (
+              SELECT d.src, d.dst
+              FROM d JOIN deg s ON s.id = d.src JOIN deg t ON t.id = d.dst
+              WHERE s.deg < t.deg OR (s.deg = t.deg AND d.src < d.dst)
+            ),
+            tri AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM o e1
+              JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+              JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            corners AS (
+              SELECT a AS id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            ),
+            cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+            verts AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+            )
+            SELECT v.id, CAST(COALESCE(cnt.triangles, 0) AS BIGINT) AS triangles
+            FROM verts v LEFT JOIN cnt ON cnt.id = v.id""",
+        # BFS from min(src) to depth 3 with the engine's deterministic
+        # min-parent tie-break (operators/bfs.py): level-synchronous frontier
+        # as a bounded recursive CTE; depth = shortest distance; parent =
+        # min src among depth-1 predecessors.
+        "bfs": """
+            WITH RECURSIVE e AS (
+              SELECT l_orderkey AS src, l_partkey AS dst
+              FROM lineitem GROUP BY 1, 2
+            ),
+            root AS (SELECT min(src) AS r FROM e),
+            walk(id, depth) AS (
+              SELECT r, 0 FROM root
+              UNION
+              SELECT e.dst, w.depth + 1
+              FROM walk w JOIN e ON e.src = w.id
+              WHERE w.depth < 3
+            ),
+            dist AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY id),
+            par AS (
+              SELECT e.dst AS id, min(e.src) AS parent
+              FROM e
+              JOIN dist p ON p.id = e.src
+              JOIN dist c ON c.id = e.dst AND c.depth = p.depth + 1
+              GROUP BY e.dst
+            )
+            SELECT d.id, d.depth, par.parent
+            FROM dist d LEFT JOIN par ON par.id = d.id""",
     }
