@@ -89,7 +89,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash64,
         shingles,
     )
-    from citation_graph_spark.pipeline.similarity import ann_lsh_topk, ann_topk_bruteforce
+    from citation_graph_spark.pipeline.similarity import (
+        ann_lsh_topk,
+        ann_topk_bruteforce,
+        embedding_cosine_pairs_lsh,
+    )
     from citation_graph_spark.pipeline.text import document_profile
 
     def q_out_degree(spark, sf):
@@ -351,6 +355,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = emb.where(F.col("vec_id") % 25 == 0)
         return ann_lsh_topk(qs, emb, k=3, dim=64)
 
+    def q_embed_cosine_lsh(spark, sf):
+        # scale path of embed_cosine: hyperplane-bucketed candidates, exact
+        # verify (rows-only: sign-bit bucketing is not DuckDB-expressible;
+        # tests assert every emitted pair also appears in the exact O(n²)
+        # output with an identical cosine)
+        return embedding_cosine_pairs_lsh(
+            _t(spark, sf, "embeddings"), threshold=0.35, dim=64
+        )
+
     def q_bfs(spark, sf):
         from citation_graph_spark.operators.bfs import bfs_expand
 
@@ -398,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "embed_cosine_lsh": q_embed_cosine_lsh,
         "bfs": q_bfs,
     }
 

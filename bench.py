@@ -155,6 +155,22 @@ def main() -> int:
 
     run("minhash_lsh", bench_minhash)
 
+    # Disclosed cost evidence for the LSH verify path (diagnostic — not part
+    # of the timed headline total): verify work scales with |candidates|
+    # (what exact_jaccard_for_candidates scores), NOT with the
+    # all-shared-shingle pair count the uncapped exact method touches.
+    if only is None or "minhash_lsh" in only:
+        from citation_graph_spark.pipeline.dedup import (
+            minhash_lsh_candidates,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        extras["minhash_verify_candidates"] = minhash_lsh_candidates(docs, n=3).count()
+        extras["shared_shingle_pairs"] = ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0
+        ).count()
+
     # --- similarity ----------------------------------------------------------
     def bench_ann():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

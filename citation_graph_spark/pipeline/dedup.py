@@ -7,8 +7,9 @@ Five families, each a ``documents``-shaped DataFrame operator:
   *blocked on shared shingles* (an equi-join on the shingle string — no
   custom hashing, so a DuckDB oracle can reproduce it bit-for-bit).
 - ``minhash_lsh_pairs`` — MinHash signatures (xxhash64 permutation family)
-  + LSH banding + bucket join + exact-Jaccard verification: the scale path
-  (candidate generation is linear in shingles, never all-pairs).
+  + LSH banding + bucket join + exact-Jaccard verification restricted to
+  the candidate pairs: both candidate generation AND verification scale
+  with |candidates|, never all-pairs.
 - ``simhash64`` / ``simhash_pairs`` — 64-bit SimHash from token hashes;
   near-dup = small Hamming distance, blocked on 16-bit chunks
   (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
@@ -67,21 +68,9 @@ def shingles(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 5, threshold: float = 0.5, text_col: str = "text"
-) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold over
-    distinct word-n-gram sets. Candidates = pairs sharing ≥1 shingle (the
-    blocking equi-join); Jaccard is then exact: |∩| / (|A|+|B|-|∩|)."""
-    sh = shingles(docs, n, text_col)
+def _jaccard_from_intersections(inter: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common) + shingle-set sizes → (doc_a, doc_b, jaccard)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -94,8 +83,91 @@ def ngram_jaccard_pairs(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
+
+
+def exact_jaccard_for_candidates(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for the given ``(doc_a, doc_b)`` pairs ONLY.
+
+    Work is O(|candidates| × avg shingle-set size): each candidate pair is
+    expanded by doc_a's shingles and equi-joined to doc_b's — never the
+    all-shared-shingle-pairs self-join. Both shingle sides are semi-join
+    pruned to docs that appear in some candidate, so at 100 TB the scan feed
+    into this step scales with the candidate set, not the corpus.
+
+    Pairs with an empty intersection drop out (their Jaccard is 0)."""
+    docs_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
+    sa = sh.join(docs_a, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    sb = sh.join(docs_b, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_from_intersections(inter, sh)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold over
+    distinct word-n-gram sets. Candidates = pairs sharing ≥1 shingle (the
+    blocking equi-join); Jaccard is then exact: |∩| / (|A|+|B|-|∩|).
+
+    ``max_df`` caps the *document frequency* of blocking shingles: a
+    stop-phrase shingle shared by 10⁶ docs makes the uncapped self-join
+    quadratic in that DF. With ``max_df`` set, only shingles with DF ≤
+    max_df generate candidate pairs, and the Jaccard is then computed
+    exactly over the FULL shingle sets of those candidates (high-DF
+    shingles still count toward |∩| and |∪|). Recall loss is confined to
+    pairs whose every shared shingle is more common than ``max_df`` —
+    vanishingly unlikely for true near-duplicates. ``max_df=None`` (default)
+    is the exact, oracle-checkable all-blocking behavior."""
+    sh = shingles(docs, n, text_col)
+    if max_df is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        scored = _jaccard_from_intersections(inter, sh)
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        blocking = sh.join(rare, "shingle", "left_semi")
+        a = blocking.alias("a")
+        b = blocking.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        scored = exact_jaccard_for_candidates(candidates, sh)
+    return scored.where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -103,15 +175,12 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 64, n: int = 5, text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, sig array<long>) — MinHash over the shingle set.
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, shingle)* → (doc_id, sig array<long>).
 
     Permutation family: ``xxhash64(shingle, seed=i)`` for i in [0,H) — one
     pass over the exploded shingles, H running mins aggregated at once
     (no per-hash shuffle; the groupBy is a single hash agg)."""
-    sh = shingles(docs, n, text_col)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -122,25 +191,20 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    num_hashes: int = 64,
-    bands: int = 16,
-    n: int = 5,
-    threshold: float = 0.5,
-    text_col: str = "text",
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, n: int = 5, text_col: str = "text"
 ) -> DataFrame:
-    """Candidate pairs from LSH banding, verified with exact Jaccard.
+    """(doc_id, sig array<long>) — MinHash over the shingle set."""
+    return _signatures_from_shingles(shingles(docs, n, text_col), num_hashes)
 
-    bands × rows = num_hashes; a pair is a candidate iff some band of the
-    signature matches exactly (bucket equi-join on (band, band-hash)).
-    Candidates are then verified against the true shingle Jaccard, so the
-    output is exact (LSH only affects recall of candidate generation).
-    """
+
+def _lsh_candidates_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banding + bucket equi-join: (doc_a, doc_b) pairs agreeing on ≥1 band."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -156,7 +220,7 @@ def minhash_lsh_pairs(
     )
     x = banded.alias("x")
     y = banded.alias("y")
-    candidates = (
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -166,9 +230,46 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, n, threshold, text_col)
-    return candidates.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unverified LSH candidate pairs (doc_a, doc_b) — exposed so callers
+    (and the bench's cost report) can measure |candidates| directly."""
+    sh = shingles(docs, n, text_col)
+    return _lsh_candidates_from_signatures(
+        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard.
+
+    bands × rows = num_hashes; a pair is a candidate iff some band of the
+    signature matches exactly (bucket equi-join on (band, band-hash)).
+    Candidates are then verified with the true shingle Jaccard computed
+    ONLY over candidate pairs (``exact_jaccard_for_candidates``) — verify
+    work scales with |candidates|, never with the number of
+    shared-shingle pairs in the corpus. LSH only affects candidate recall;
+    every emitted pair's Jaccard is exact."""
+    sh = shingles(docs, n, text_col)
+    candidates = _lsh_candidates_from_signatures(
+        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
+    )
+    return exact_jaccard_for_candidates(candidates, sh).where(
+        F.col("jaccard") >= threshold
     )
 
 

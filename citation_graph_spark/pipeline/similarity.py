@@ -63,6 +63,53 @@ def ann_topk_bruteforce(
     )
 
 
+def embedding_cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    tables: int = 4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) near-dup pairs at scale — the LSH counterpart
+    of ``dedup.embedding_cosine_pairs`` (which is the exact O(n²) baseline).
+
+    The corpus is hashed once into ``tables`` sign-bit buckets; candidates
+    = pairs sharing a bucket in ≥1 table; exact cosine verify over the
+    candidates only. Recall < 1 by design (a pair landing in different
+    buckets in every table is missed); every emitted cosine is exact."""
+    sig_udf = make_lsh_signatures_udf(dim, tables, planes)
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("va"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    cos = cosine_sim(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    return candidates.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
 def _hyperplanes(dim: int, tables: int, planes: int, seed: int = 42) -> np.ndarray:
     """(tables, planes, dim) float64 — deterministic per (seed, table)."""
     out = np.empty((tables, planes, dim))

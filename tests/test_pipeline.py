@@ -10,8 +10,11 @@ from citation_graph_spark.pipeline.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     exact_dup_groups,
+    exact_jaccard_for_candidates,
+    minhash_lsh_candidates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingles,
     simhash64,
     simhash_pairs,
 )
@@ -20,7 +23,11 @@ from citation_graph_spark.pipeline.multimodal import (
     frame_sample_plan,
     synth_media,
 )
-from citation_graph_spark.pipeline.similarity import ann_lsh_topk, ann_topk_bruteforce
+from citation_graph_spark.pipeline.similarity import (
+    ann_lsh_topk,
+    ann_topk_bruteforce,
+    embedding_cosine_pairs_lsh,
+)
 from citation_graph_spark.pipeline.text import document_profile
 
 
@@ -92,6 +99,90 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not any({a, b} & {2, 4} for a, b in pairs)
 
 
+def _stop_shingle_corpus(spark):
+    """30 docs all sharing one stop 3-gram ('common filler words'); docs 0/1
+    are a planted near-dup pair whose overlap lives in RARE shingles."""
+    rows = [
+        (0, "common filler words aaa bbb ccc ddd eee today"),
+        (1, "common filler words aaa bbb ccc ddd eee tomorrow"),
+    ]
+    for i in range(2, 30):
+        rows.append((i, f"common filler words u{i} v{i} w{i} x{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_verify_restricted_to_candidates(spark):
+    """minhash_lsh_pairs == {LSH candidates} ∩ {exact pairs}, with exact
+    jaccard values — and the verify input (candidates) is far smaller than
+    the shared-shingle pair blow-up a stop shingle causes."""
+    docs = _stop_shingle_corpus(spark)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, n=3).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert got == {p: j for p, j in exact.items() if p in cand}
+    assert (0, 1) in got and got[(0, 1)] == exact[(0, 1)]
+    # the stop shingle makes every pair share ≥1 shingle: C(30,2) blocked
+    # pairs; LSH candidates must be a small fraction of that
+    shared = ngram_jaccard_pairs(docs, n=3, threshold=0.0).count()
+    assert shared == 30 * 29 // 2
+    assert len(cand) < shared / 10
+
+
+def test_exact_jaccard_for_candidates_matches_python(spark):
+    docs = _docs(spark)
+    sh = shingles(docs, n=5)
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_for_candidates(cand, sh).collect()
+    }
+    exp = {}
+    for a, b in [(0, 1), (0, 3), (0, 2), (1, 3)]:
+        sa, sb = _py_shingles(DOCS[a][1]), _py_shingles(DOCS[b][1])
+        if sa & sb:
+            exp[(a, b)] = round(len(sa & sb) / len(sa | sb), 6)
+    assert got == exp
+    assert (0, 2) not in got  # empty intersection drops out
+
+
+def test_ngram_max_df_cap(spark):
+    """DF-capped blocking: output pairs carry the EXACT full-set jaccard
+    (high-DF shingles still count in |∩|/|∪|); pairs linked only through
+    stop shingles are the (documented) recall loss."""
+    docs = _stop_shingle_corpus(spark)
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=5).collect()
+    }
+    # capped ⊆ uncapped with identical values (full-set jaccard, not
+    # rare-shingle-only jaccard)
+    assert capped and all(uncapped[p] == j for p, j in capped.items())
+    assert (0, 1) in capped
+    # at a real threshold the stop-shingle-only pairs are below it anyway:
+    # capped and uncapped agree exactly
+    unc_t = {p: j for p, j in uncapped.items() if j >= 0.3}
+    cap_t = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=5).collect()
+    }
+    assert cap_t == unc_t
+
+
 def test_simhash(spark):
     sims = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
     assert sims[0] == sims[3]  # identical text, identical hash
@@ -145,6 +236,23 @@ def test_ann_bruteforce_matches_numpy(spark):
         for (rank, nid, cos), (ecos, ej) in zip(rows, exp):
             assert nid == ej, (qi, rank)
             assert math.isclose(cos, ecos, abs_tol=2e-6)
+
+
+def test_embed_cosine_lsh_pairs(spark):
+    emb, _ = _emb(spark)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.5, dim=16, tables=4, planes=6
+        ).collect()
+    }
+    # every emitted pair is exact (subset of brute force, identical cosine)
+    assert all(exact.get(p) == c for p, c in got.items())
+    assert (2, 5) in got and got[(2, 5)] > 0.999  # planted near-dup recalled
 
 
 def test_ann_lsh_recalls_planted_pair(spark):
