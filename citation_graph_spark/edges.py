@@ -57,20 +57,69 @@ def encode_vertices_hash(edges: DataFrame) -> DataFrame:
     )
 
 
-def vertex_dictionary(edges: DataFrame) -> DataFrame:
+def vertex_dictionary(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Exact dense dictionary url → id ∈ [0, |V|).
 
-    One distinct + one global sort; ids are assigned by url order so the
-    mapping is deterministic across runs/partitionings. Opt-in (the sort is
-    the cost); used where exact dense ids matter (e.g., array-indexed
-    post-processing)."""
+    ids are assigned by url order so the mapping is deterministic across
+    runs/partitionings. Scale shape is the classic two-pass dense-id
+    assignment — NOT a global ``Window.orderBy`` (which funnels all |V|
+    rows through one task):
+
+      1. range-repartition + sort-within-partition by url (a distributed
+         sort: partition i holds the i-th url range),
+      2. one tiny driver action collects per-partition row counts →
+         cumulative offsets (|partitions| rows, not |V|),
+      3. a narrow Arrow ``mapInPandas`` pass assigns
+         ``id = offset[partition] + local_row_number``.
+
+    Every partition works independently; the only driver data is the
+    offset table. Opt-in (one range shuffle + sort); used where exact
+    dense ids matter (e.g., array-indexed post-processing)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     verts = (
         edges.select(F.col("src").alias("url"))
         .unionByName(edges.select(F.col("dst").alias("url")))
         .distinct()
     )
-    w = Window.orderBy("url")
-    return verts.withColumn("id", F.row_number().over(w).cast("long") - 1)
+    parted = (
+        verts.repartitionByRange(num_partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {
+            r["pid"]: r["n"]
+            for r in parted.groupBy("pid").agg(F.count("*").alias("n")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
+        def assign(batches):
+            import pandas as pd
+
+            local = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                base = offsets[int(pdf["pid"].iloc[0])]
+                ids = range(base + local, base + local + len(pdf))
+                local += len(pdf)
+                yield pd.DataFrame({"url": pdf["url"], "id": list(ids)})
+
+        url_type = verts.schema["url"].dataType.simpleString()
+        out = parted.mapInPandas(assign, f"url {url_type}, id long")
+        # materialize before unpersisting: mapInPandas reads the cached
+        # range-partitioned blocks, whose pids the offsets were built from
+        out = out.localCheckpoint(eager=True)
+    finally:
+        parted.unpersist()
+    return out
 
 
 def encode_vertices_dict(edges: DataFrame, dictionary: DataFrame) -> DataFrame:
