@@ -85,11 +85,19 @@ def run(args: argparse.Namespace) -> int:
 
     exclude = None
     for path in args.exclude:
-        parsed, malformed = read_exclude_list(spark, path)
+        # allow_bare: vertex ids here are page urls, so exclude files may
+        # carry bare urls alongside the reference's canonical type::id lines
+        parsed, malformed = read_exclude_list(spark, path, allow_bare=True)
         n_bad = malformed.count()
         if n_bad:
             print(f"warning: {n_bad} malformed exclude line(s) in {path}", file=sys.stderr)
-        ids = parsed.select(F.col("raw_id").alias("id"))
+        # Vertex ids here are page urls. An exclude entry may address a
+        # vertex either by its raw id (``url::https://…`` → the url itself)
+        # or by the reference's canonical ``type::id`` form — match BOTH id
+        # spaces so a canonical-format entry can never silently no-op.
+        ids = parsed.select(F.col("raw_id").alias("id")).unionByName(
+            parsed.select(F.col("id"))
+        ).distinct()
         exclude = ids if exclude is None else exclude.unionByName(ids)
 
     if args.algorithm == "bfs":

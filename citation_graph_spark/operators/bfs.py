@@ -47,12 +47,19 @@ def bfs_expand(
     exclude: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     durable_every: int = 5,
+    resume: bool = True,
     num_partitions: int | None = None,
 ) -> BFSResult:
     """Expand from ``root`` over directed ``(src, dst[, pos])`` edges.
 
     ``exclude``: optional single-column (``id``) DataFrame — the
     reference's exclude-papers file (``paper.py:181-201``).
+
+    With ``checkpoint_dir`` set, a killed run resumes from the newest valid
+    manifest whose recorded root/max_per_src match this call (``max_depth``
+    is a continuation knob: resuming with a larger depth keeps expanding).
+    ``exclude`` is a DataFrame and is NOT validated against the manifest —
+    callers resuming with a different exclude list must start fresh.
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -80,13 +87,48 @@ def bfs_expand(
     adj = adj.select("src", "dst").repartition(num_partitions, "src").persist()
     adj.count()
 
-    id_type = dict(edges.dtypes)["src"]
-    visited = spark.createDataFrame([(root, 0, None)], f"id {id_type}, depth int, parent {id_type}")
-    visited = ctx.truncate(visited, 0)
-    frontier = visited.select("id")
+    start_level = 0
+    visited = None
+    if ckpt is not None and resume:
+        from citation_graph_spark.sources.checkpoint import resume_compatible
 
-    depth_reached = 0
-    for depth in range(max_depth):
+        latest = ckpt.latest()
+        if latest is not None:
+            it, state_df, manifest = latest
+            if resume_compatible(
+                manifest.get("args"), ckpt.args, ignore=("max_depth",)
+            ):
+                visited = state_df
+                start_level = it
+                exhausted = manifest["metrics"].get("new_vertices") == 0
+                if exhausted or it >= max_depth:
+                    # Nothing left to expand (frontier died, or the resumed
+                    # state already covers the requested depth).
+                    adj.unpersist()
+                    visited = visited.where(F.col("depth") <= max_depth)
+                    reached = visited.agg(F.max("depth")).first()[0] or 0
+                    return BFSResult(visited, int(reached), [])
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint at {checkpoint_dir} was written with different "
+                    f"args ({manifest.get('args')}) than this call ({ckpt.args}); "
+                    "ignoring it and starting fresh",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+
+    if visited is None:
+        id_type = dict(edges.dtypes)["src"]
+        visited = spark.createDataFrame(
+            [(root, 0, None)], f"id {id_type}, depth int, parent {id_type}"
+        )
+        visited = ctx.truncate(visited, 0)
+    frontier = visited.where(F.col("depth") == start_level).select("id")
+
+    depth_reached = start_level
+    for depth in range(start_level, max_depth):
         candidates = frontier.join(adj, frontier.id == adj.src).select(
             adj.dst.alias("id"), adj.src.alias("parent")
         )

@@ -82,7 +82,9 @@ def connected_components(
         latest = ckpt.latest()
         if latest is not None:
             it, state_df, manifest = latest
-            if manifest.get("args", {}).get("algorithm") == "connected_components":
+            from citation_graph_spark.sources.checkpoint import resume_compatible
+
+            if resume_compatible(manifest.get("args"), ckpt.args):
                 if manifest["metrics"].get("changed") == 0:
                     sym.unpersist()
                     return ComponentsResult(state_df.select("id", "label"), it, True, [])

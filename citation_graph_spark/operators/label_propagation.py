@@ -8,9 +8,9 @@ their label. Stops at fixpoint or ``max_iter`` (synchronous LPA can
 2-cycle on bipartite structures — the converged flag reports which).
 
 Superstep shape: labels ⋈ sym-edges on ``src`` → ``groupBy(dst, label).
-count()`` → per-dst argmax via ``max_by(struct(cnt, -label))`` — a single
-hash aggregation, no window sort. The tie-break lives in the struct
-ordering, so the whole argmax stays JVM-side.
+count()`` → per-dst argmax as two hash aggregations (max count, then min
+label among the tied) — no window sort, works for long AND string labels,
+and the whole argmax stays JVM-side with map-side partials.
 """
 
 from __future__ import annotations
@@ -68,7 +68,9 @@ def label_propagation(
         latest = ckpt.latest()
         if latest is not None:
             it, state_df, manifest = latest
-            if manifest.get("args", {}).get("algorithm") == "label_propagation":
+            from citation_graph_spark.sources.checkpoint import resume_compatible
+
+            if resume_compatible(manifest.get("args"), ckpt.args):
                 if manifest["metrics"].get("changed") == 0:
                     sym.unpersist()
                     return LPAResult(state_df.select("id", "label"), it, True, [])

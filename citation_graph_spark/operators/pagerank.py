@@ -131,7 +131,13 @@ def pagerank(
         latest = ckpt.latest()
         if latest is not None:
             it, state_df, manifest = latest
-            if manifest.get("args", {}).get("algorithm") == "pagerank":
+            # Validate ALL recorded hyperparameters (alpha, salt_factor, …),
+            # not just the algorithm name — resuming a checkpoint written
+            # under different parameters would blend two different fixpoints.
+            # max_iter/tol are continuation knobs and may differ.
+            from citation_graph_spark.sources.checkpoint import resume_compatible
+
+            if resume_compatible(manifest.get("args"), ckpt.args):
                 state = state_df
                 start_iter = it + 1
                 dangling_mass = float(manifest["metrics"]["dangling_mass"])
@@ -142,6 +148,16 @@ def pagerank(
                     return PageRankResult(
                         state.select("id", "rank"), it, float(prev_delta), True, []
                     )
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint at {checkpoint_dir} was written with different "
+                    f"args ({manifest.get('args')}) than this call ({ckpt.args}); "
+                    "ignoring it and starting fresh",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     if state is None:
         state = flagged.select(

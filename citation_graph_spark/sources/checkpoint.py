@@ -30,6 +30,24 @@ SPEC_VERSION = 1
 _MANIFEST = "_manifest.json"
 
 
+def resume_compatible(
+    manifest_args: dict[str, Any] | None,
+    current_args: dict[str, Any] | None,
+    ignore: tuple[str, ...] = ("max_iter", "tol"),
+) -> bool:
+    """True iff a recorded run's args match the current call's, excluding
+    continuation knobs (more/fewer iterations or a different tolerance are
+    legitimate reasons to resume; a different alpha/salt/root is not).
+
+    The reference validates its cache on load (``cache_manager.py:239-329``)
+    — the analog here: a checkpoint written under different hyperparameters
+    must never silently blend into a new run."""
+    drop = set(ignore)
+    a = {k: v for k, v in (manifest_args or {}).items() if k not in drop}
+    b = {k: v for k, v in (current_args or {}).items() if k not in drop}
+    return a == b
+
+
 @dataclass
 class CheckpointManager:
     """Directory-backed state store for one iterative run."""
@@ -92,6 +110,15 @@ class CheckpointManager:
         }
         with open(os.path.join(target, _MANIFEST), "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
+        # Iterations above this one belong to a superseded timeline (a fresh
+        # restart after an args mismatch, or a shorter re-run): once
+        # iteration k is durably written, anything newer is stale — prune it
+        # so a later resume can never pick a dead timeline's state.
+        import shutil
+
+        for it in self.iterations():
+            if it > iteration:
+                shutil.rmtree(self._iter_dir(it), ignore_errors=True)
         return reloaded
 
     def iterations(self) -> list[int]:

@@ -20,12 +20,20 @@ from citation_graph_spark.functions.ids import parse_id_string
 COMMENT_CHAR = "#"
 
 
-def read_exclude_list(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+def read_exclude_list(
+    spark: SparkSession, path: str, allow_bare: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Returns (parsed, malformed).
 
     ``parsed``: (id_type, raw_id, id) — id is the canonical ``type::id``.
     ``malformed``: (line) — non-comment lines that failed to parse.
-    """
+
+    ``allow_bare`` widens the id space beyond the reference's four
+    ``type::id`` forms: a line that is not a canonical id is kept verbatim
+    as ``(id_type='url', raw_id=line, id=line)`` instead of being flagged
+    malformed. This is how a url-vertex graph (vertex id == page url) is
+    addressed — the reference never needed it because its vertex space IS
+    its id space (``paper.py:146-179``)."""
     lines = (
         spark.read.text(path)
         .select(F.trim("value").alias("line"))
@@ -33,10 +41,21 @@ def read_exclude_list(spark: SparkSession, path: str) -> tuple[DataFrame, DataFr
     )
     parsed_col = parse_id_string(F.col("line"))
     with_parse = lines.select("line", parsed_col.alias("p"))
-    parsed = with_parse.where(F.col("p").isNotNull()).select(
-        F.col("p.id_type").alias("id_type"),
-        F.col("p.raw_id").alias("raw_id"),
-        F.concat_ws("::", "p.id_type", "p.raw_id").alias("id"),
-    )
-    malformed = with_parse.where(F.col("p").isNull()).select("line")
+    canonical = F.concat_ws("::", "p.id_type", "p.raw_id")
+    if allow_bare:
+        parsed = with_parse.select(
+            F.coalesce(F.col("p.id_type"), F.lit("url")).alias("id_type"),
+            F.coalesce(F.col("p.raw_id"), F.col("line")).alias("raw_id"),
+            F.when(F.col("p").isNotNull(), canonical)
+            .otherwise(F.col("line"))
+            .alias("id"),
+        )
+        malformed = with_parse.where(F.lit(False)).select("line")
+    else:
+        parsed = with_parse.where(F.col("p").isNotNull()).select(
+            F.col("p.id_type").alias("id_type"),
+            F.col("p.raw_id").alias("raw_id"),
+            canonical.alias("id"),
+        )
+        malformed = with_parse.where(F.col("p").isNull()).select("line")
     return parsed, malformed

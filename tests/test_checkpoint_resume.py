@@ -5,9 +5,13 @@ import math
 import os
 import shutil
 
+import pytest
+
 from citation_graph_spark import datagen
+from citation_graph_spark.operators.bfs import bfs_expand
 from citation_graph_spark.operators.components import connected_components
 from citation_graph_spark.operators.pagerank import pagerank
+from citation_graph_spark.sources.checkpoint import CheckpointManager
 from tests.oracles import connected_components_oracle
 
 
@@ -42,6 +46,62 @@ def test_pagerank_resume_converged_is_instant(spark, tmp_path):
     assert again.converged
     assert again.history == []  # no supersteps re-run
     assert _ranks(again) == _ranks(first)
+
+
+def test_pagerank_resume_rejects_mismatched_args(spark, tmp_path):
+    """A checkpoint written under different hyperparameters must not blend
+    into a new run: different alpha → warn, start fresh, exact fresh result."""
+    edges = datagen.zipf_edges(spark, 120, 700, seed=23).cache()
+    ck = str(tmp_path / "ck_mismatch")
+    pagerank(edges, alpha=0.85, tol=1e-6, checkpoint_dir=ck, durable_every=2)
+
+    fresh = pagerank(edges, alpha=0.5, tol=1e-6)  # no checkpoint: ground truth
+    with pytest.warns(RuntimeWarning, match="different .*args"):
+        resumed = pagerank(edges, alpha=0.5, tol=1e-6, checkpoint_dir=ck, durable_every=2)
+    exp, got = _ranks(fresh), _ranks(resumed)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert math.isclose(got[v], exp[v], abs_tol=1e-12), v
+    # the fresh restart pruned the dead timeline: no stale iterations above
+    # the new run's final durable state
+    mgr = CheckpointManager(spark, ck)
+    assert max(mgr.iterations()) <= resumed.iterations
+
+
+def test_bfs_resume_continues_deeper(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(10)] + [(0, 5, 2)], "src long, dst long, pos int"
+    )
+    ck = str(tmp_path / "ck_bfs")
+    first = bfs_expand(edges, root=0, max_depth=2, checkpoint_dir=ck, durable_every=1)
+    assert first.depth_reached == 2
+
+    direct = bfs_expand(edges, root=0, max_depth=5)
+    resumed = bfs_expand(edges, root=0, max_depth=5, checkpoint_dir=ck, durable_every=1)
+    as_set = lambda r: {(x["id"], x["depth"], x["parent"]) for x in r.visited.collect()}  # noqa: E731
+    assert as_set(resumed) == as_set(direct)
+    assert resumed.depth_reached == direct.depth_reached
+    # only the continuation levels (3..5) ran as supersteps
+    assert len(resumed.history) <= 3
+
+    # re-running at the reached depth returns the stored state without a loop
+    again = bfs_expand(edges, root=0, max_depth=5, checkpoint_dir=ck, durable_every=1)
+    assert as_set(again) == as_set(direct)
+    assert again.history == []
+
+
+def test_bfs_resume_rejects_other_root(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)], "src long, dst long, pos int"
+    )
+    ck = str(tmp_path / "ck_bfs_root")
+    bfs_expand(edges, root=0, max_depth=3, checkpoint_dir=ck, durable_every=1)
+    fresh = bfs_expand(edges, root=2, max_depth=3)
+    with pytest.warns(RuntimeWarning, match="different .*args"):
+        other = bfs_expand(edges, root=2, max_depth=3, checkpoint_dir=ck, durable_every=1)
+    assert {(x["id"], x["depth"]) for x in other.visited.collect()} == {
+        (x["id"], x["depth"]) for x in fresh.visited.collect()
+    }
 
 
 def test_two_star_matches_hash_min(spark):

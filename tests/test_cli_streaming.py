@@ -72,6 +72,41 @@ def test_cli_bfs_end_to_end(spark, tmp_path):
     assert len(lines) > 2  # header + root + at least one expansion
 
 
+def test_cli_exclude_prunes_vertex(spark, tmp_path):
+    """An excluded vertex (bare-url exclude entry) must actually vanish
+    from the BFS output — the exclude id space is urls here."""
+    from citation_graph_spark.cli import main
+
+    path = _write_pages(spark, tmp_path, n=150)
+    out1 = str(tmp_path / "csv_noexcl")
+    assert main(
+        root=datagen.page_url(0), pages=path, max_depth=1,
+        algorithm="bfs", list_file=out1, master="local[8]",
+    ) == 0
+    ids1 = [
+        line.split(";")[2]
+        for p in glob.glob(os.path.join(out1, "part-*.csv"))
+        for line in open(p).read().splitlines()[1:]
+    ]
+    victims = [i for i in ids1 if i != datagen.page_url(0)]
+    assert victims
+    excl = tmp_path / "excl_urls.txt"
+    excl.write_text(f"{victims[0]}\n")
+
+    out2 = str(tmp_path / "csv_excl")
+    assert main(
+        root=datagen.page_url(0), pages=path, max_depth=1, exclude=[str(excl)],
+        algorithm="bfs", list_file=out2, master="local[8]",
+    ) == 0
+    ids2 = {
+        line.split(";")[2]
+        for p in glob.glob(os.path.join(out2, "part-*.csv"))
+        for line in open(p).read().splitlines()[1:]
+    }
+    assert victims[0] not in ids2
+    assert set(ids1) - {victims[0]} == ids2
+
+
 def test_cli_pagerank_parquet_out(spark, tmp_path):
     from citation_graph_spark.cli import main
 

@@ -34,6 +34,25 @@ def test_exclude_list(spark, tmp_path):
     assert [r["line"] for r in malformed.collect()] == ["malformed-line"]
 
 
+def test_exclude_list_allow_bare(spark, tmp_path):
+    path = tmp_path / "mixed.txt"
+    path.write_text(
+        "# urls and canonical ids mixed\n"
+        "doi::test-id-0\n"
+        "https://crawl.example/page/000042\n"
+    )
+    parsed, malformed = read_exclude_list(spark, str(path), allow_bare=True)
+    rows = {r["id"]: (r["id_type"], r["raw_id"]) for r in parsed.collect()}
+    assert rows == {
+        "doi::test-id-0": ("doi", "test-id-0"),
+        "https://crawl.example/page/000042": (
+            "url",
+            "https://crawl.example/page/000042",
+        ),
+    }
+    assert malformed.count() == 0
+
+
 def test_visited_list_columns(spark):
     visited = spark.createDataFrame(
         [("p1", 0, None), ("p2", 1, "p1")], "id string, depth int, parent string"
