@@ -8,11 +8,14 @@ program version, wall time, args — ``src/citation_graph/cache_manager.py:
 
 The Spark analog: per-iteration Parquet state under ``<dir>/iter=<k>/`` plus
 a JSON manifest carrying the same lineage fields — spec version, engine
-version, args, iteration, convergence metrics, and *per-partition lineage*
-(row count per partition) so a resumed run can verify the state it loads.
-Writing Parquet (not ``df.checkpoint()``) both truncates the logical plan —
-iterative joins otherwise re-plan k joins at iteration k — and makes every
-iteration durable and resumable mid-run (north_rule).
+version, args, iteration, convergence metrics, and *per-file lineage*
+(row count per parquet file — stable across re-reads, unlike partition
+ids) so a resumed run can verify the state it loads. Old manifest specs
+are migrated on load, mirroring the reference's v2→v3 cache shim
+(``cache_manager.py:37-69``). Writing Parquet (not ``df.checkpoint()``)
+both truncates the logical plan — iterative joins otherwise re-plan k
+joins at iteration k — and makes every iteration durable and resumable
+mid-run (north_rule).
 """
 
 from __future__ import annotations
@@ -25,9 +28,28 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-SPEC_VERSION = 1
+SPEC_VERSION = 2
 # Underscore prefix: Spark's file index skips it when scanning the parquet dir.
 _MANIFEST = "_manifest.json"
+
+
+def _migrate_1_to_2(manifest: dict[str, Any]) -> dict[str, Any]:
+    """Spec 1 recorded per-*partition* row counts keyed by
+    ``spark_partition_id`` — not stable across re-reads of the same parquet
+    dir, so useless as validation. Spec 2 keys lineage by file name. A v1
+    manifest can't be upgraded to real per-file lineage after the fact:
+    mark the lineage unknown (total row count still validates)."""
+    out = dict(manifest)
+    out.pop("partitions", None)
+    out["files"] = None
+    out["file-spec-version"] = 2
+    return out
+
+
+# The reference migrates old cache specs on load rather than stranding them
+# (cache_manager.py:37-69, applied at 239-329). Same contract here: each
+# entry upgrades one spec step; load() chains them to SPEC_VERSION.
+MIGRATIONS = {1: _migrate_1_to_2}
 
 
 def resume_compatible(
@@ -88,14 +110,17 @@ class CheckpointManager:
             shutil.rmtree(target)
         os.rename(tmp, target)
         reloaded = self.spark.read.parquet(target)
-        lineage = [
-            {"partition": int(r["pid"]), "rows": int(r["rows"])}
-            for r in (
-                reloaded.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            )
-        ]
+        lineage = sorted(
+            (
+                {"file": os.path.basename(r["f"]), "rows": int(r["rows"])}
+                for r in (
+                    reloaded.groupBy(F.input_file_name().alias("f"))
+                    .agg(F.count("*").alias("rows"))
+                    .collect()
+                )
+            ),
+            key=lambda p: p["file"],
+        )
         manifest = {
             "creator": self.creator,
             "file-spec-version": SPEC_VERSION,
@@ -104,7 +129,7 @@ class CheckpointManager:
             "args": self.args,
             "iteration": iteration,
             "metrics": metrics or {},
-            "partitions": lineage,
+            "files": lineage,
             "rows": sum(p["rows"] for p in lineage),
             "schema": reloaded.schema.jsonValue(),
         }
@@ -134,21 +159,47 @@ class CheckpointManager:
 
     def load(self, iteration: int) -> tuple[DataFrame, dict[str, Any]]:
         """Load + validate one iteration's state (the reference's
-        validate-on-load, ``database.py:30-63``). Raises on spec mismatch or
-        row-count drift vs the recorded per-partition lineage."""
+        validate-on-load, ``database.py:30-63``).
+
+        Older manifest specs are migrated in place via ``MIGRATIONS`` (and
+        the upgraded manifest is written back). Raises on an unknown/newer
+        spec, or on per-file row-count drift vs the recorded lineage (one
+        grouped count over ``input_file_name`` — stable across reads; a v1
+        manifest has unknown file lineage, so only the total is checked)."""
         target = self._iter_dir(iteration)
         with open(os.path.join(target, _MANIFEST), encoding="utf-8") as fh:
             manifest = json.load(fh)
-        if manifest.get("file-spec-version") != SPEC_VERSION:
+        spec = manifest.get("file-spec-version")
+        migrated = False
+        while spec in MIGRATIONS and spec < SPEC_VERSION:
+            manifest = MIGRATIONS[spec](manifest)
+            spec = manifest["file-spec-version"]
+            migrated = True
+        if spec != SPEC_VERSION:
             raise ValueError(
-                f"checkpoint spec {manifest.get('file-spec-version')} != {SPEC_VERSION}"
+                f"checkpoint spec {spec} not readable by engine spec {SPEC_VERSION}"
             )
         df = self.spark.read.parquet(target)
-        rows = df.count()
+        actual = {
+            os.path.basename(r["f"]): int(r["rows"])
+            for r in df.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        }
+        if manifest.get("files") is not None:
+            expected = {p["file"]: p["rows"] for p in manifest["files"]}
+            if actual != expected:
+                raise ValueError(
+                    f"checkpoint corrupt: per-file rows {actual} != manifest {expected}"
+                )
+        rows = sum(actual.values())
         if rows != manifest["rows"]:
             raise ValueError(
                 f"checkpoint corrupt: {rows} rows on disk, manifest says {manifest['rows']}"
             )
+        if migrated:
+            with open(os.path.join(target, _MANIFEST), "w", encoding="utf-8") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
         return df, manifest
 
     def latest(self) -> tuple[int, DataFrame, dict[str, Any]] | None:

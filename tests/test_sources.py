@@ -112,3 +112,50 @@ def test_checkpoint_roundtrip_and_validation(spark, tmp_path):
     open(mpath, "w").write(json.dumps(m))
     with pytest.raises(ValueError):
         ck.load(1)
+
+
+def test_checkpoint_per_file_lineage_detects_drift(spark, tmp_path):
+    ck = CheckpointManager(spark, str(tmp_path / "ckf"), args={"algorithm": "t"})
+    df = spark.createDataFrame([(i, 1.0 / 8) for i in range(8)], "id long, rank double")
+    ck.save(df.repartition(4), 0, {})
+    mpath = os.path.join(str(tmp_path / "ckf"), "iter=0", "_manifest.json")
+    m = json.loads(open(mpath).read())
+    files = [p for p in m["files"] if p["rows"] > 0]
+    assert sum(p["rows"] for p in m["files"]) == 8
+    # delete one data file but patch the TOTAL to still add up — only the
+    # per-file lineage can catch this
+    victim = files[0]
+    os.remove(os.path.join(str(tmp_path / "ckf"), "iter=0", victim["file"]))
+    m["rows"] = 8 - victim["rows"]
+    open(mpath, "w").write(json.dumps(m))
+    with pytest.raises(ValueError, match="per-file rows"):
+        ck.load(0)
+
+
+def test_checkpoint_migrates_v1_manifest(spark, tmp_path):
+    """A spec-1 manifest (per-partition lineage) loads via the migration
+    shim: lineage is dropped, total rows still validate, and the upgraded
+    manifest is persisted — mirror of reference cache_manager.py:37-69."""
+    from citation_graph_spark.sources.checkpoint import SPEC_VERSION
+
+    ck = CheckpointManager(spark, str(tmp_path / "ckm"), args={"algorithm": "t"})
+    df = spark.createDataFrame([(1, 0.5), (2, 0.5)], "id long, rank double")
+    ck.save(df, 0, {"delta": 0.2})
+    mpath = os.path.join(str(tmp_path / "ckm"), "iter=0", "_manifest.json")
+    m = json.loads(open(mpath).read())
+    # rewrite as a v1 manifest
+    m["file-spec-version"] = 1
+    m["partitions"] = [{"partition": 0, "rows": 2}]
+    del m["files"]
+    open(mpath, "w").write(json.dumps(m))
+
+    loaded, manifest = ck.load(0)
+    assert loaded.count() == 2
+    assert manifest["file-spec-version"] == SPEC_VERSION
+    assert manifest["files"] is None and "partitions" not in manifest
+    # migration persisted: next read sees spec 2 directly
+    on_disk = json.loads(open(mpath).read())
+    assert on_disk["file-spec-version"] == SPEC_VERSION
+    # resume still works through latest()
+    it, _, mf = ck.latest()
+    assert it == 0 and mf["metrics"]["delta"] == 0.2
