@@ -26,17 +26,33 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 # One spec, two consumers (UDF + oracle). Anchor-href extraction in document
 # order; text = body text with tags stripped and whitespace collapsed.
-HREF_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"')
+# Tolerant of real-web markup: case-insensitive tag/attr names, double- or
+# single-quoted or unquoted attribute values, whitespace around '='.
+HREF_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>'"][^\s>]*))""",
+    re.IGNORECASE,
+)
 TAG_RE = re.compile(r"<[^>]*>")
 WS_RE = re.compile(r"\s+")
 _DECODE = ("utf-8", "replace")
+
+
+def _hrefs(decoded: str) -> list[str]:
+    """Ordered href values (duplicates preserved) — the ONE extraction
+    function both the Arrow UDF and the single-process oracle call, so
+    byte-identity per url holds by construction."""
+    out = []
+    for m in HREF_RE.finditer(decoded):
+        dq, sq, bare = m.groups()
+        out.append(dq if dq is not None else sq if sq is not None else bare)
+    return out
 
 
 def extract_links_oracle(html: bytes | None) -> list[str]:
     """Single-process oracle: ordered hrefs (duplicates preserved)."""
     if html is None:
         return []
-    return HREF_RE.findall(html.decode(*_DECODE))
+    return _hrefs(html.decode(*_DECODE))
 
 
 def extract_text_oracle(html: bytes | None) -> str | None:
@@ -52,7 +68,7 @@ def extract_links(html: pd.Series) -> pd.Series:
     """Vectorized href extraction: binary html → array<string> of targets."""
     decoded = html.str.decode(*_DECODE)
     return decoded.map(
-        lambda s: HREF_RE.findall(s) if s is not None else [],
+        lambda s: _hrefs(s) if s is not None else [],
         na_action=None,
     )
 
