@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -10,6 +11,12 @@ from citation_graph_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="cgs-tests", master="local[8]", shuffle_partitions=8)
+    warehouse = tempfile.mkdtemp(prefix="cgs-warehouse-")
+    s = get_spark(
+        app_name="cgs-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
