@@ -5,9 +5,13 @@ Headline suite at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 
 - ``extract``    — pages → vectorized link extraction → deduped encoded
                    edge table (the ingest path; n_pages scales with sf)
-- ``pagerank``   — PageRank to 1e-6 L1 on a Zipfian graph scaled to sf
+- ``graph_build``— one persisted Zipfian edge table scaled to sf, built
+                   ONCE and shared by pagerank + cc (production keeps the
+                   edge table resident across algorithms; build cost is
+                   reported separately so algorithm walls are supersteps)
+- ``pagerank``   — PageRank to 1e-6 L1 on the shared graph
                    (THE north-rule metric; edges/sec/executor derived)
-- ``cc``         — connected components on the same graph
+- ``cc``         — connected components on the same shared graph
 - ``groupagg_q1``— TPC-H-Q1-shaped agg on lineitem at sf
 - ``minhash_lsh``— MinHash+LSH near-dup over documents at sf
 - ``ann_topk``   — brute-force cosine top-k over embeddings at sf
@@ -94,16 +98,31 @@ def main() -> int:
         100_000, int(sf * 80_000_000)
     )
 
+    # One graph, built and persisted ONCE, shared by every graph query —
+    # production keeps the edge table resident across algorithms (the
+    # LinkGraph contract, graph.py); timing the build separately means the
+    # pagerank/cc walls reflect supersteps, not ingest.
+    shared: dict = {}
+
+    def bench_graph_build():
+        edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=42).persist()
+        extras["n_edges"] = edges.count()
+        shared["edges"] = edges
+
+    if only is None or only & {"pagerank", "cc"}:
+        # bypass run()'s --only gating: the build is a prerequisite of
+        # whichever graph query was requested
+        t0 = time.time()
+        bench_graph_build()
+        timings["graph_build"] = round(time.time() - t0, 3)
+
     def bench_pagerank():
         max_iter = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITER", "100"))
-        edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=42).persist()
-        real_edges = edges.count()
+        real_edges = extras["n_edges"]
         t0 = time.time()
-        res = pagerank(edges, tol=args.tol, max_iter=max_iter)
+        res = pagerank(shared["edges"], tol=args.tol, max_iter=max_iter)
         res.ranks.count()
         dt = time.time() - t0
-        edges.unpersist()
-        extras["n_edges"] = real_edges
         extras["pagerank_iters"] = res.iterations
         extras["pagerank_delta"] = res.delta
         extras["pagerank_seconds"] = round(dt, 3)
@@ -121,16 +140,15 @@ def main() -> int:
 
     run("pagerank", bench_pagerank)
 
-    # --- connected components ------------------------------------------------
+    # --- connected components (same shared graph) ----------------------------
     def bench_cc():
-        edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=43).persist()
-        edges.count()
-        res = connected_components(edges, max_iter=30)
+        res = connected_components(shared["edges"], max_iter=30)
         res.labels.count()
         extras["cc_iters"] = res.iterations
-        edges.unpersist()
 
     run("cc", bench_cc)
+    if "edges" in shared:
+        shared["edges"].unpersist()
 
     # --- relational agg ------------------------------------------------------
     def bench_q1():

@@ -133,7 +133,7 @@ def ngram_jaccard_pairs(
     pairs whose every shared shingle is more common than ``max_df`` —
     vanishingly unlikely for true near-duplicates. ``max_df=None`` (default)
     is the exact, oracle-checkable all-blocking behavior."""
-    sh = shingles(docs, n, text_col)
+    sh = shingles(docs, n, text_col).persist()
     if max_df is None:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -165,6 +165,7 @@ def ngram_jaccard_pairs(
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
+            .persist()
         )
         scored = exact_jaccard_for_candidates(candidates, sh)
     return scored.where(F.col("jaccard") >= threshold)
@@ -264,10 +265,15 @@ def minhash_lsh_pairs(
     work scales with |candidates|, never with the number of
     shared-shingle pairs in the corpus. LSH only affects candidate recall;
     every emitted pair's Jaccard is exact."""
-    sh = shingles(docs, n, text_col)
+    # persist: the verify step references candidates 3× (two id-prunes +
+    # the intersection join) and shingles 3× — without a shared
+    # materialization each reference would recompute signatures + the
+    # banding self-join from scratch (measured 4× wall at sf0.01). This is
+    # the hash-once contract: shingle/sign/bucket the corpus a single time.
+    sh = shingles(docs, n, text_col).persist()
     candidates = _lsh_candidates_from_signatures(
         _signatures_from_shingles(sh, num_hashes), num_hashes, bands
-    )
+    ).persist()
     return exact_jaccard_for_candidates(candidates, sh).where(
         F.col("jaccard") >= threshold
     )

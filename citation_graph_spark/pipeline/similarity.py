@@ -80,11 +80,13 @@ def embedding_cosine_pairs_lsh(
     candidates only. Recall < 1 by design (a pair landing in different
     buckets in every table is missed); every emitted cosine is exact."""
     sig_udf = make_lsh_signatures_udf(dim, tables, planes)
+    # persist = the hash-once contract: the self-join below would otherwise
+    # run the signature UDF over the corpus twice
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket"),
-    )
+    ).persist()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     candidates = (
