@@ -190,3 +190,39 @@ def test_hsv_to_hex(spark):
         r, g, b = colorsys.hsv_to_rgb(h, 1, 1)
         exp = "#{:02X}{:02X}{:02X}".format(int(r * 255), int(g * 255), int(b * 255))
         assert got == exp, h
+
+
+def test_valid_filename_matches_reference_semantics(spark):
+    """C10: runs of non-filename chars collapse to one '-' (utils.py:32-33);
+    the column expression matches the python form, unicode included."""
+    from citation_graph_spark.functions.export import valid_filename, valid_filename_col
+
+    cases = [
+        "A Paper: On Graphs? (v2)",
+        "doi::10.1000/x#y",
+        "weird\t\nname***",
+        "ünïcode wörd",
+        "already_safe-name (1).txt",
+        "",
+    ]
+    assert valid_filename("A Paper: On Graphs? (v2)") == "A Paper- On Graphs- (v2)"
+    assert valid_filename("doi::10.1000/x#y") == "doi-10.1000-x-y"
+    assert valid_filename("weird\t\nname***") == "weird-name-"
+    df = spark.createDataFrame([(c,) for c in cases], "name string")
+    got = [
+        r["f"] for r in df.select(valid_filename_col(F.col("name")).alias("f")).collect()
+    ]
+    assert got == [valid_filename(c) for c in cases]
+
+
+def test_create_html_table_pads_rows():
+    """C11: short rows padded with empty cells to the widest row
+    (utils.py:84-97)."""
+    from citation_graph_spark.functions.export import create_html_table
+
+    html = create_html_table([["a", "b"], ["c"]])
+    assert html == (
+        "<table><tr><td>a</td><td>b</td></tr>"
+        "<tr><td>c</td><td></td></tr></table>"
+    )
+    assert create_html_table([]) == "<table></table>"
