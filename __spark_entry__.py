@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shingles,
     )
     from citation_graph_spark.pipeline.similarity import (
+        ann_ivf_topk,
         ann_lsh_topk,
         ann_topk_bruteforce,
         embedding_cosine_pairs_lsh,
@@ -355,6 +356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = emb.where(F.col("vec_id") % 25 == 0)
         return ann_lsh_topk(qs, emb, k=3, dim=64)
 
+    def q_ann_ivf(spark, sf):
+        # IVF cell-probed ANN (rows-only: the centroid sample/assignment is
+        # not DuckDB-expressible; tests assert planted-pair recall and that
+        # every emitted cosine equals the brute-force value)
+        emb = _t(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") % 25 == 0)
+        return ann_ivf_topk(qs, emb, k=3, dim=64)
+
     def q_embed_cosine_lsh(spark, sf):
         # scale path of embed_cosine: hyperplane-bucketed candidates, exact
         # verify (rows-only: sign-bit bucketing is not DuckDB-expressible;
@@ -411,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embed_cosine_lsh": q_embed_cosine_lsh,
         "bfs": q_bfs,
     }

@@ -24,6 +24,7 @@ from citation_graph_spark.pipeline.multimodal import (
     synth_media,
 )
 from citation_graph_spark.pipeline.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     ann_topk_bruteforce,
     embedding_cosine_pairs_lsh,
@@ -260,6 +261,24 @@ def test_ann_lsh_recalls_planted_pair(spark):
     got = ann_lsh_topk(emb, emb, k=3, dim=16, tables=4, planes=6).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     assert top1.get(2) == 5 and top1.get(5) == 2  # near-identical pair found
+
+
+def test_ann_ivf_recalls_planted_pair(spark):
+    emb, vecs = _emb(spark)
+    got = ann_ivf_topk(emb, emb, k=3, dim=16, n_centroids=4, n_probe=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    # near-identical vectors land in the same cell → recalled both ways
+    assert top1.get(2) == 5 and top1.get(5) == 2
+    # every emitted cosine is exact (matches the brute-force computation)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_bruteforce(emb, emb, k=19).collect()
+    }
+    for r in got:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    # deterministic across runs (hash-ordered centroid sample, no RNG state)
+    again = ann_ivf_topk(emb, emb, k=3, dim=16, n_centroids=4, n_probe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
 def test_multimodal_fake_decode(spark):

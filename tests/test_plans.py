@@ -1,0 +1,83 @@
+"""Plan-property regression tests — the physical-plan invariants the
+100 TB design depends on, guarded in the suite (not just the
+scripts/explain_plans.py audit):
+
+- parquet point lookups push filters into the scan and prune columns
+  (html never read when not selected);
+- degree aggregation is a two-phase HashAggregate (map-side partials);
+- the PageRank superstep join is a SortMergeJoin whose cached, pre-sorted
+  edge side is NOT re-sorted and NOT re-shuffled — only the rank side;
+- extraction never shuffles the html payload (explode is map-side).
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+from citation_graph_spark import datagen
+from citation_graph_spark.edges import dedup_edges, out_degrees
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_point_lookup_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "pages_plan")
+    datagen.generate_pages(spark, 100, seed=42).write.parquet(path)
+    pages = spark.read.parquet(path)
+    q = pages.where(F.col("url") == datagen.page_url(7)).select("url", "lang")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "url" in plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "html" not in read_schema
+
+
+def test_degree_agg_two_phase(spark):
+    edges = dedup_edges(datagen.zipf_edges(spark, 2_000, 20_000, seed=42))
+    plan = _plan(out_degrees(edges))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_superstep_join_reuses_cached_sorted_edges(spark):
+    edges = datagen.zipf_edges(spark, 2_000, 20_000, seed=42)
+    w_edges = (
+        edges.select("src", "dst", F.lit(0.5).alias("w"))
+        .repartition(8, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    try:
+        w_edges.count()
+        ranks = spark.range(2_000).select(F.col("id"), F.lit(1e-4).alias("rank"))
+        step = (
+            ranks.join(w_edges.hint("merge"), ranks.id == w_edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        plan = _plan(step, "simple")
+        assert "SortMergeJoin" in plan
+        assert "InMemoryTableScan" in plan
+        # between the join and the cache scan (everything under
+        # InMemoryRelation is just the cache-BUILD plan, not this query):
+        # exactly ONE exchange and ONE sort — both on the rank side; the
+        # cached edge side is already hash-partitioned and sorted on src
+        join_part = plan[plan.index("SortMergeJoin"):plan.index("InMemoryRelation")]
+        assert join_part.count("Exchange") == 1, plan
+        assert join_part.count(" Sort [") == 1, plan
+    finally:
+        w_edges.unpersist()
+
+
+def test_extraction_explode_is_map_side(spark):
+    pages = datagen.generate_pages(spark, 50, seed=42)
+    from citation_graph_spark.extract import pages_to_raw_edges
+
+    plan = _plan(pages_to_raw_edges(pages))
+    # no Exchange anywhere: extraction + posexplode happen where the rows
+    # are read; the binary html column never crosses a shuffle
+    assert "Exchange" not in plan
