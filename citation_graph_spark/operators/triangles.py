@@ -40,7 +40,10 @@ def _oriented(edges: DataFrame) -> DataFrame:
 def triangles(edges: DataFrame) -> DataFrame:
     """All triangles as rows (a, b, c) — a is the (degree, id)-smallest
     corner; each triangle exactly once."""
-    e = _oriented(edges)
+    # persist: e is referenced three times below (wedge self-join + closing
+    # semi-join); without it the orientation (symmetrize + two degree joins)
+    # would be recomputed per reference
+    e = _oriented(edges).persist()
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")

@@ -313,6 +313,8 @@ def simhash_pairs(
     Blocking: split the 64-bit hash into 4 16-bit chunks; by pigeonhole any
     pair within Hamming ≤ 3 shares at least one exact chunk → equi-join per
     chunk, then exact Hamming verify via bit_count(xor)."""
+    # persist: the self-join below references the chunk table twice — the
+    # 64-bit-sum aggregation must run once (hash-once contract)
     sim = simhash64(docs, text_col)
     chunks = sim.select(
         "doc_id",
@@ -325,7 +327,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("chunk_no", "chunk"),
-    )
+    ).persist()
     x = chunks.alias("x")
     y = chunks.alias("y")
     cand = (
