@@ -34,25 +34,88 @@ def ann_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "gemv",
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine,
-    deterministic tie-break on neighbor id. Self-matches excluded."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_sim(
-                    F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
-                ),
-                6,
-            ).alias("cosine"),
+    """(query_id, neighbor_id, cosine, rank) — EXACT top-k by cosine,
+    deterministic tie-break on neighbor id. Self-matches excluded.
+
+    ``scorer='gemv'`` (default): the query matrix is collected/broadcast
+    (queries are the small side by contract) and each Arrow batch of the
+    corpus is scored with ONE numpy matrix multiply, keeping only the
+    per-batch top-k per query — the shuffle then carries
+    |Q|·k·n_batches rows instead of |Q|·|C|. Per-batch top-k under the
+    global ordering (cosine desc, id asc) is lossless for global top-k.
+
+    ``scorer='sql'``: pure built-in expressions (broadcast join +
+    ``aggregate``/``zip_with`` cosine) — slower, zero Python; kept as the
+    formulation mirror of the DuckDB oracle."""
+    if scorer == "sql":
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_sim(
+                        F.col("qv").cast("array<double>"),
+                        F.col("cv").cast("array<double>"),
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
         )
-    )
+    elif scorer == "gemv":
+        q_rows = queries.select(id_col, vec_col).collect()
+        if not q_rows:
+            return queries.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, rank int"
+            )
+        qids = np.array([r[id_col] for r in q_rows], dtype="int64")
+        qmat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows])
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qunit = np.divide(
+            qmat, qnorm[:, None], out=np.zeros_like(qmat), where=qnorm[:, None] > 0
+        )
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nids = pdf[id_col].to_numpy()
+                cmat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                cnorm = np.linalg.norm(cmat, axis=1)
+                cunit = np.divide(
+                    cmat, cnorm[:, None], out=np.zeros_like(cmat), where=cnorm[:, None] > 0
+                )
+                # round BEFORE selecting: the final rank is over the rounded
+                # cosine, so ties created by rounding must be broken by id
+                # here too, or a batch could keep the wrong candidate
+                sims = np.round(cunit @ qunit.T, 6)  # (n_c, n_q)
+                for j in range(len(qids)):
+                    mask = nids != qids[j]
+                    cand_ids = nids[mask]
+                    cand_sims = sims[mask, j]
+                    if len(cand_ids) == 0:
+                        continue
+                    top = min(k, len(cand_ids))
+                    # order: cosine desc, neighbor id asc — lexsort keys
+                    order = np.lexsort((cand_ids, -cand_sims))[:top]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": cand_ids[order],
+                            "cosine": cand_sims[order],
+                        }
+                    )
+
+        scored = corpus.mapInPandas(
+            score, "query_id long, neighbor_id long, cosine double"
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
