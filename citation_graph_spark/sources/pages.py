@@ -44,7 +44,18 @@ def root_page(pages: DataFrame, url: str) -> DataFrame:
     return pages.where(F.col("url") == url)
 
 
-def write_pages(pages: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Persist a pages table (Parquet fallback layout). At scale: Iceberg
+def write_pages(
+    pages: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Persist a pages table (Parquet fallback layout). ``partition_by``
+    gives hive-style directory partitioning — a predicate on those columns
+    prunes whole directories at plan time (PartitionFilters in the scan),
+    the Parquet analog of Iceberg's partition pruning. At scale: Iceberg
     ``writeTo(...).partitionedBy(days(warc_ts), bucket(1024, url))``."""
-    pages.write.mode(mode).parquet(path)
+    writer = pages.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -73,6 +73,26 @@ def test_superstep_join_reuses_cached_sorted_edges(spark):
         w_edges.unpersist()
 
 
+def test_partitioned_pages_prune_directories(spark, tmp_path):
+    """Hive-style partition layout: a lang predicate prunes partitions at
+    plan time (PartitionFilters), never scanning the other directories —
+    the Parquet analog of the Iceberg partition-pruning contract."""
+    from citation_graph_spark.sources.pages import read_pages, write_pages
+
+    path = str(tmp_path / "pages_part")
+    write_pages(
+        datagen.generate_pages(spark, 200, seed=42), path, partition_by=("lang",)
+    )
+    pages = spark.read.parquet(path)  # schema inferred incl. partition col
+    q = pages.where(F.col("lang") == "en").select("url")
+    plan = _plan(q)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    n_langs = pages.select("lang").distinct().count()
+    assert n_langs > 1
+    # read_pages falls back to parquet and still sees every partition
+    assert read_pages(spark, path).count() == 200
+
+
 def test_extraction_explode_is_map_side(spark):
     pages = datagen.generate_pages(spark, 50, seed=42)
     from citation_graph_spark.extract import pages_to_raw_edges
