@@ -28,6 +28,7 @@ from citation_graph_spark import edges as E
 @dataclass
 class LinkGraph:
     edges: DataFrame  # (src, dst[, pos])
+    _prepared: object = None  # PreparedGraph, built by prepare()
 
     @classmethod
     def from_pages(
@@ -47,6 +48,23 @@ class LinkGraph:
         self.edges = self.edges.persist()
         return self
 
+    def prepare(self, num_partitions: int | None = None) -> "LinkGraph":
+        """Build (lazily) the shared static algorithm tables — weighted
+        sorted edges, symmetrized view, dangling flags — so repeated
+        ``pagerank``/``connected_components``/``label_propagation`` calls
+        pay the setup once. Release with :meth:`unprepare`."""
+        from citation_graph_spark.operators.prepared import PreparedGraph
+
+        if self._prepared is None:
+            self._prepared = PreparedGraph(self.edges, num_partitions)
+        return self
+
+    def unprepare(self) -> "LinkGraph":
+        if self._prepared is not None:
+            self._prepared.unpersist()
+            self._prepared = None
+        return self
+
     # --- degrees ------------------------------------------------------------
     def out_degrees(self) -> DataFrame:
         return E.out_degrees(self.edges)
@@ -64,17 +82,17 @@ class LinkGraph:
     def pagerank(self, **kwargs):
         from citation_graph_spark.operators.pagerank import pagerank
 
-        return pagerank(self.edges, **kwargs)
+        return pagerank(self.edges, prepared=self._prepared, **kwargs)
 
     def connected_components(self, **kwargs):
         from citation_graph_spark.operators.components import connected_components
 
-        return connected_components(self.edges, **kwargs)
+        return connected_components(self.edges, prepared=self._prepared, **kwargs)
 
     def label_propagation(self, **kwargs):
         from citation_graph_spark.operators.label_propagation import label_propagation
 
-        return label_propagation(self.edges, **kwargs)
+        return label_propagation(self.edges, prepared=self._prepared, **kwargs)
 
     def triangle_count(self) -> int:
         from citation_graph_spark.operators.triangles import triangle_count

@@ -128,6 +128,7 @@ def bfs_expand(
     frontier = visited.where(F.col("depth") == start_level).select("id")
 
     depth_reached = start_level
+    n_new = None
     for depth in range(start_level, max_depth):
         candidates = frontier.join(adj, frontier.id == adj.src).select(
             adj.dst.alias("id"), adj.src.alias("parent")
@@ -149,7 +150,13 @@ def bfs_expand(
         frontier = visited.where(F.col("depth") == depth + 1).select("id")
 
     if ckpt is not None:
-        visited = ctx.finish(visited, depth_reached, {"final": True})
+        # carry new_vertices into the final manifest: save()'s prune deletes
+        # the level that recorded new_vertices=0, so without this a resume
+        # of an exhausted run could not detect the dead frontier and would
+        # re-execute one wasted empty superstep
+        visited = ctx.finish(
+            visited, depth_reached, {"final": True, "new_vertices": n_new}
+        )
     adj.unpersist()
     return BFSResult(visited, depth_reached, ctx.history)
 

@@ -25,6 +25,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from citation_graph_spark.edges import symmetrize, vertices_of
+from citation_graph_spark.operators.prepared import PreparedGraph
 from citation_graph_spark.operators.superstep import SuperstepContext
 from citation_graph_spark.sources.checkpoint import CheckpointManager
 
@@ -38,24 +39,50 @@ class ComponentsResult:
 
 
 def connected_components(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     durable_every: int = 5,
     resume: bool = True,
     num_partitions: int | None = None,
     algorithm: str = "hash_min",
+    prepared: PreparedGraph | None = None,
 ) -> ComponentsResult:
     """``algorithm``: ``hash_min`` (O(diameter) supersteps — right for
     short-diameter web graphs) or ``two_star`` (alternating large-star /
-    small-star, O(log n) rounds — right for long-diameter graphs)."""
-    if algorithm == "two_star":
-        return _two_star(edges, max_iter, num_partitions)
-    if algorithm != "hash_min":
-        raise ValueError(f"unknown algorithm {algorithm!r}")
+    small-star, O(log n) rounds — right for long-diameter graphs).
+
+    ``prepared``: reuse a :class:`PreparedGraph`'s persisted symmetrized
+    edge cache across algorithm calls (see operators/prepared.py)."""
+    owns_prepared = prepared is None
+    if prepared is None:
+        if edges is None:
+            raise ValueError("pass either edges or prepared")
+        prepared = PreparedGraph(edges, num_partitions)
+    else:
+        edges = prepared.edges
+    try:
+        if algorithm == "two_star":
+            return _two_star(edges, max_iter, prepared.num_partitions)
+        if algorithm != "hash_min":
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        return _hash_min(
+            prepared, edges, max_iter, checkpoint_dir, durable_every, resume
+        )
+    finally:
+        if owns_prepared:
+            prepared.unpersist()
+
+
+def _hash_min(
+    prepared: PreparedGraph,
+    edges: DataFrame,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    durable_every: int,
+    resume: bool,
+) -> ComponentsResult:
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -65,16 +92,6 @@ def connected_components(
             args={"algorithm": "connected_components", "max_iter": max_iter},
         )
     ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
-
-    # CSR-style layout (see pagerank.py): cache-sorted on src so each
-    # superstep's merge join re-sorts only the label frame.
-    sym = (
-        symmetrize(edges)
-        .repartition(num_partitions, "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
-    sym.count()
 
     start_iter = 1
     state = None
@@ -86,10 +103,14 @@ def connected_components(
 
             if resume_compatible(manifest.get("args"), ckpt.args):
                 if manifest["metrics"].get("changed") == 0:
-                    sym.unpersist()
                     return ComponentsResult(state_df.select("id", "label"), it, True, [])
                 state = state_df
                 start_iter = it + 1
+
+    # CSR-style layout (see pagerank.py): cache-sorted on src so each
+    # superstep's merge join re-sorts only the label frame. Shared with LPA
+    # via PreparedGraph when the caller passed one.
+    sym = prepared.symmetrized()
 
     if state is None:
         state = vertices_of(edges).select("id", F.col("id").alias("label"))
@@ -122,7 +143,6 @@ def connected_components(
     converged = changed == 0
     if ckpt is not None:
         state = ctx.finish(state, it, {"changed": changed, "final": converged})
-    sym.unpersist()
     return ComponentsResult(state.select("id", "label"), it, converged, ctx.history)
 
 

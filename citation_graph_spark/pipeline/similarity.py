@@ -48,7 +48,14 @@ def ann_topk_bruteforce(
 
     ``scorer='sql'``: pure built-in expressions (broadcast join +
     ``aggregate``/``zip_with`` cosine) — slower, zero Python; kept as the
-    formulation mirror of the DuckDB oracle."""
+    formulation mirror of the DuckDB oracle. Non-integral id columns
+    (strings, …) fall back to this path automatically: the GEMV scorer
+    packs ids into an int64 ndarray."""
+    id_type = corpus.schema[id_col].dataType
+    if scorer == "gemv" and not isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        scorer = "sql"
     if scorer == "sql":
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -68,10 +75,13 @@ def ann_topk_bruteforce(
             )
         )
     elif scorer == "gemv":
+        # output ids keep the input id type (int64 math internally; any
+        # integral input round-trips exactly — Arrow down-casts on write)
+        id_sql = id_type.simpleString()
         q_rows = queries.select(id_col, vec_col).collect()
         if not q_rows:
             return queries.sparkSession.createDataFrame(
-                [], "query_id long, neighbor_id long, cosine double, rank int"
+                [], f"query_id {id_sql}, neighbor_id {id_sql}, cosine double, rank int"
             )
         qids = np.array([r[id_col] for r in q_rows], dtype="int64")
         qmat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows])
@@ -112,7 +122,7 @@ def ann_topk_bruteforce(
                     )
 
         scored = corpus.mapInPandas(
-            score, "query_id long, neighbor_id long, cosine double"
+            score, f"query_id {id_sql}, neighbor_id {id_sql}, cosine double"
         )
     else:
         raise ValueError(f"unknown scorer {scorer!r}")

@@ -97,13 +97,10 @@ def language_id(text: Column) -> Column:
     toks = tokenize(text)
     hits = {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
     best = F.greatest(*hits.values())
-    result = F.lit("und")
-    # reversed priority so earlier languages win ties via later .when chain?
-    # build explicit chain: first matching language in priority order wins.
     chain = F.when(best <= 0, F.lit("und"))
     for lang in ("en", "de", "es", "fr"):
         chain = chain.when(hits[lang] == best, F.lit(lang))
-    return chain.otherwise(result)
+    return chain.otherwise(F.lit("und"))
 
 
 def fingerprint(text: Column) -> Column:

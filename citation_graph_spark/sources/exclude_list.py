@@ -29,11 +29,15 @@ def read_exclude_list(
     ``malformed``: (line) — non-comment lines that failed to parse.
 
     ``allow_bare`` widens the id space beyond the reference's four
-    ``type::id`` forms: a line that is not a canonical id is kept verbatim
-    as ``(id_type='url', raw_id=line, id=line)`` instead of being flagged
-    malformed. This is how a url-vertex graph (vertex id == page url) is
-    addressed — the reference never needed it because its vertex space IS
-    its id space (``paper.py:146-179``)."""
+    ``type::id`` forms: a line that *looks like a url* (``scheme://…``,
+    with an optional explicit ``url::`` prefix) is kept as
+    ``(id_type='url', raw_id=url, id=url)``. This is how a url-vertex
+    graph (vertex id == page url) is addressed — the reference never
+    needed it because its vertex space IS its id space
+    (``paper.py:146-179``). Lines that are neither canonical nor
+    url-shaped (a typo like ``dio::123``) still flow to ``malformed`` so
+    the caller's warning channel stays live — keeping them verbatim would
+    silently produce never-matching exclude entries."""
     lines = (
         spark.read.text(path)
         .select(F.trim("value").alias("line"))
@@ -43,14 +47,28 @@ def read_exclude_list(
     with_parse = lines.select("line", parsed_col.alias("p"))
     canonical = F.concat_ws("::", "p.id_type", "p.raw_id")
     if allow_bare:
-        parsed = with_parse.select(
+        # strip an explicit "url::" prefix ("url" is not in ID_TYPES, so the
+        # canonical parser leaves it alone), then require a scheme://
+        bare = F.when(
+            F.col("line").startswith("url::"),
+            F.expr("substring(line, 6)"),
+        ).otherwise(F.col("line"))
+        with_bare = with_parse.withColumn(
+            "bare",
+            F.when(bare.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), bare),
+        )
+        parsed = with_bare.where(
+            F.col("p").isNotNull() | F.col("bare").isNotNull()
+        ).select(
             F.coalesce(F.col("p.id_type"), F.lit("url")).alias("id_type"),
-            F.coalesce(F.col("p.raw_id"), F.col("line")).alias("raw_id"),
+            F.coalesce(F.col("p.raw_id"), F.col("bare")).alias("raw_id"),
             F.when(F.col("p").isNotNull(), canonical)
-            .otherwise(F.col("line"))
+            .otherwise(F.col("bare"))
             .alias("id"),
         )
-        malformed = with_parse.where(F.lit(False)).select("line")
+        malformed = with_bare.where(
+            F.col("p").isNull() & F.col("bare").isNull()
+        ).select("line")
     else:
         parsed = with_parse.where(F.col("p").isNotNull()).select(
             F.col("p.id_type").alias("id_type"),

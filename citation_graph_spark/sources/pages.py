@@ -30,10 +30,29 @@ PAGES_SCHEMA = T.StructType(
 
 def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
     """Load the pages table: Iceberg table name/path if the catalog is
-    available, else a Parquet path with the same schema."""
+    available, else a Parquet path with the same schema.
+
+    Only the *format-unavailable* error falls through to Parquet (no
+    Iceberg jar on the classpath). A genuine Iceberg misconfiguration —
+    bad catalog name, auth failure, missing table — propagates instead of
+    silently degrading to an empty/missing Parquet read."""
     try:
         return spark.read.format("iceberg").load(path_or_table)
-    except Exception:
+    except Exception as exc:
+        msg = str(exc)
+        unavailable = (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source" in msg
+            or "ClassNotFoundException" in msg
+        )
+        if not unavailable:
+            raise
+        import logging
+
+        logging.getLogger(__name__).info(
+            "iceberg format unavailable; falling back to parquet for %s",
+            path_or_table,
+        )
         return spark.read.schema(PAGES_SCHEMA).parquet(path_or_table)
 
 

@@ -75,3 +75,64 @@ def test_networkx_cross_check(spark):
     got = _spark_ranks(pagerank(edges, tol=1e-9, max_iter=200))
     for v in exp:
         assert math.isclose(got[v], exp[v], abs_tol=1e-6), v
+
+
+def test_prepared_graph_reuse_and_release(spark):
+    from citation_graph_spark.operators.components import connected_components
+    from citation_graph_spark.operators.prepared import PreparedGraph
+
+    edges = datagen.zipf_edges(spark, n_vertices=150, n_edges=1000, seed=5).cache()
+    baseline = _spark_ranks(pagerank(edges, tol=1e-8))
+    cc_baseline = {
+        r["id"]: r["label"] for r in connected_components(edges).labels.collect()
+    }
+
+    pg = PreparedGraph(edges)
+    shared_pr = _spark_ranks(pagerank(prepared=pg, tol=1e-8))
+    shared_pr2 = _spark_ranks(pagerank(prepared=pg, tol=1e-8))  # statics reused
+    shared_cc = {
+        r["id"]: r["label"]
+        for r in connected_components(prepared=pg).labels.collect()
+    }
+    assert set(shared_pr) == set(baseline)
+    for v in baseline:
+        assert math.isclose(shared_pr[v], baseline[v], abs_tol=1e-12), v
+        assert math.isclose(shared_pr2[v], baseline[v], abs_tol=1e-12), v
+    assert shared_cc == cc_baseline
+
+    # unpersist releases every static table the PreparedGraph persisted
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    pg.unpersist()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after <= before - 3  # weighted + flagged + symmetrized
+    edges.unpersist()
+
+
+def test_resume_exhausted_maxiter_keeps_recorded_delta(spark, tmp_path):
+    """Resuming a finished-but-unconverged checkpoint with the same
+    max_iter must run zero supersteps, report the RECORDED residual (not
+    inf), and leave the manifest valid JSON (no Infinity literal)."""
+    import json
+    import pathlib
+
+    edges = datagen.zipf_edges(spark, n_vertices=100, n_edges=700, seed=9).cache()
+    ck = str(tmp_path / "pr")
+    first = pagerank(edges, tol=1e-12, max_iter=3, checkpoint_dir=ck)
+    assert not first.converged and first.delta > 1e-12
+    again = pagerank(edges, tol=1e-12, max_iter=3, checkpoint_dir=ck)
+    assert again.iterations == first.iterations
+    assert math.isclose(again.delta, first.delta, rel_tol=1e-12)
+    assert math.isfinite(again.delta)
+    # every manifest on disk must be strict JSON (json.loads with
+    # parse_constant raising on Infinity/NaN)
+    def no_consts(value):
+        raise AssertionError(f"non-standard JSON constant: {value}")
+
+    for mf in pathlib.Path(ck).rglob("_manifest.json"):
+        json.loads(mf.read_text(), parse_constant=no_consts)
+    ranks_first = _spark_ranks(first)
+    ranks_again = _spark_ranks(again)
+    for v in ranks_first:
+        assert math.isclose(ranks_first[v], ranks_again[v], abs_tol=1e-15), v
+    edges.unpersist()

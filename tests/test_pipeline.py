@@ -313,3 +313,27 @@ def test_frame_sample_plan(spark):
     for r in rows:
         counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
     assert counts == {mid: math.ceil(dur / 1000) for mid, dur in vids.items()}
+
+
+def test_ann_bruteforce_string_ids_fall_back_to_sql(spark):
+    """Non-integral id columns must still work: the GEMV scorer packs ids
+    into int64, so string ids route to the sql scorer with identical
+    results and the id type preserved."""
+    emb, vecs = _emb(spark)
+    s_emb = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    got = ann_topk_bruteforce(s_emb, s_emb, k=3).collect()
+    assert dict(ann_topk_bruteforce(s_emb, s_emb, k=3).dtypes)["query_id"] == "string"
+    long_got = ann_topk_bruteforce(emb, emb, k=3).collect()
+    exp = {
+        ("v%d" % r["query_id"], r["rank"]): ("v%d" % r["neighbor_id"], r["cosine"])
+        for r in long_got
+    }
+    # string ids sort differently ("v10" < "v2") — only cosine ties can
+    # reorder; compare the (query, rank) -> cosine map, and neighbor ids
+    # where the cosine is unique
+    for r in got:
+        e_nid, e_cos = exp[(r["query_id"], r["rank"])]
+        assert math.isclose(r["cosine"], e_cos, abs_tol=2e-6)

@@ -40,6 +40,9 @@ def test_exclude_list_allow_bare(spark, tmp_path):
         "# urls and canonical ids mixed\n"
         "doi::test-id-0\n"
         "https://crawl.example/page/000042\n"
+        "url::https://crawl.example/page/000043\n"
+        "dio::123\n"  # typo'd type: must surface as malformed, not a
+        # verbatim never-matching exclude entry
     )
     parsed, malformed = read_exclude_list(spark, str(path), allow_bare=True)
     rows = {r["id"]: (r["id_type"], r["raw_id"]) for r in parsed.collect()}
@@ -49,8 +52,13 @@ def test_exclude_list_allow_bare(spark, tmp_path):
             "url",
             "https://crawl.example/page/000042",
         ),
+        # the explicit url:: prefix resolves to the bare url (the vertex id)
+        "https://crawl.example/page/000043": (
+            "url",
+            "https://crawl.example/page/000043",
+        ),
     }
-    assert malformed.count() == 0
+    assert [r["line"] for r in malformed.collect()] == ["dio::123"]
 
 
 def test_visited_list_columns(spark):
