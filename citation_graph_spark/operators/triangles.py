@@ -37,13 +37,10 @@ def _oriented(edges: DataFrame) -> DataFrame:
     ).select("src", "dst")
 
 
-def triangles(edges: DataFrame) -> DataFrame:
-    """All triangles as rows (a, b, c) — a is the (degree, id)-smallest
-    corner; each triangle exactly once."""
-    # persist: e is referenced three times below (wedge self-join + closing
-    # semi-join); without it the orientation (symmetrize + two degree joins)
-    # would be recomputed per reference
-    e = _oriented(edges).persist()
+def _triangles_from(e: DataFrame) -> DataFrame:
+    """Triangle rows (a, b, c) from an oriented edge table. ``e`` is
+    referenced three times (wedge self-join + closing semi-join) — the
+    caller must persist it or each reference recomputes the orientation."""
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -59,25 +56,44 @@ def triangles(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles as rows (a, b, c) — a is the (degree, id)-smallest
+    corner; each triangle exactly once. Lazy: the oriented table is
+    recomputed per reference in the final plan — prefer the terminal
+    wrappers below (which persist it for the duration of one aggregation
+    and release it before returning) unless you need the raw list."""
+    return _triangles_from(_oriented(edges))
+
+
 def triangle_count(edges: DataFrame) -> int:
     """Total number of triangles in the undirected simple graph."""
-    return triangles(edges).count()
+    e = _oriented(edges).persist()
+    try:
+        return _triangles_from(e).count()
+    finally:
+        e.unpersist()
 
 
 def triangle_counts_per_vertex(edges: DataFrame) -> DataFrame:
     """(id, triangles) — how many triangles each vertex participates in.
-    Vertices in no triangle get 0."""
-    tri = triangles(edges)
-    corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
-    )
-    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
-    from citation_graph_spark.edges import vertices_of
+    Vertices in no triangle get 0. Eager: the |V|-row result is
+    materialized so the oriented edge cache is released before returning."""
+    e = _oriented(edges).persist()
+    try:
+        tri = _triangles_from(e)
+        corners = (
+            tri.select(F.col("a").alias("id"))
+            .unionAll(tri.select(F.col("b").alias("id")))
+            .unionAll(tri.select(F.col("c").alias("id")))
+        )
+        counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+        from citation_graph_spark.edges import vertices_of
 
-    return (
-        vertices_of(edges)
-        .join(counts, "id", "left")
-        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
-    )
+        return (
+            vertices_of(edges)
+            .join(counts, "id", "left")
+            .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()

@@ -132,43 +132,54 @@ def ngram_jaccard_pairs(
     shingles still count toward |∩| and |∪|). Recall loss is confined to
     pairs whose every shared shingle is more common than ``max_df`` —
     vanishingly unlikely for true near-duplicates. ``max_df=None`` (default)
-    is the exact, oracle-checkable all-blocking behavior."""
+    is the exact, oracle-checkable all-blocking behavior.
+
+    Eager: the (threshold-filtered, small) result is materialized before
+    returning so the persisted shingle/candidate intermediates can be
+    released — no cached blocks outlive the call (the vertex_dictionary
+    contract, edges.py)."""
     sh = shingles(docs, n, text_col).persist()
-    if max_df is None:
-        a = sh.alias("a")
-        b = sh.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    candidates = None
+    try:
+        if max_df is None:
+            a = sh.alias("a")
+            b = sh.alias("b")
+            inter = (
+                a.join(
+                    b,
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+                .agg(F.count("*").alias("n_common"))
             )
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("n_common"))
-        )
-        scored = _jaccard_from_intersections(inter, sh)
-    else:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        blocking = sh.join(rare, "shingle", "left_semi")
-        a = blocking.alias("a")
-        b = blocking.alias("b")
-        candidates = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            scored = _jaccard_from_intersections(inter, sh)
+        else:
+            rare = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") <= max_df)
+                .select("shingle")
             )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-            .persist()
-        )
-        scored = exact_jaccard_for_candidates(candidates, sh)
-    return scored.where(F.col("jaccard") >= threshold)
+            blocking = sh.join(rare, "shingle", "left_semi")
+            a = blocking.alias("a")
+            b = blocking.alias("b")
+            candidates = (
+                a.join(
+                    b,
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+                .distinct()
+                .persist()
+            )
+            scored = exact_jaccard_for_candidates(candidates, sh)
+        return scored.where(F.col("jaccard") >= threshold).localCheckpoint(eager=True)
+    finally:
+        if candidates is not None:
+            candidates.unpersist()
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -270,13 +281,21 @@ def minhash_lsh_pairs(
     # materialization each reference would recompute signatures + the
     # banding self-join from scratch (measured 4× wall at sf0.01). This is
     # the hash-once contract: shingle/sign/bucket the corpus a single time.
+    # Eager result materialization lets both intermediates be released
+    # before returning — no cached blocks outlive the call.
     sh = shingles(docs, n, text_col).persist()
     candidates = _lsh_candidates_from_signatures(
         _signatures_from_shingles(sh, num_hashes), num_hashes, bands
     ).persist()
-    return exact_jaccard_for_candidates(candidates, sh).where(
-        F.col("jaccard") >= threshold
-    )
+    try:
+        return (
+            exact_jaccard_for_candidates(candidates, sh)
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        candidates.unpersist()
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -328,27 +347,32 @@ def simhash_pairs(
             )
         ).alias("chunk_no", "chunk"),
     ).persist()
-    x = chunks.alias("x")
-    y = chunks.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.chunk_no") == F.col("y.chunk_no"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    try:
+        x = chunks.alias("x")
+        y = chunks.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.chunk_no") == F.col("y.chunk_no"))
+                & (F.col("x.chunk") == F.col("y.chunk"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash").alias("sim_a"),
+                F.col("y.simhash").alias("sim_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sim_a"),
-            F.col("y.simhash").alias("sim_b"),
+        hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        return (
+            cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
-    )
+    finally:
+        chunks.unpersist()
 
 
 # ---------------------------------------------------------------------------

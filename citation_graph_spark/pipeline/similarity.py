@@ -160,29 +160,36 @@ def embedding_cosine_pairs_lsh(
         F.col(vec_col).alias("v"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket"),
     ).persist()
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    try:
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("a.v").alias("va"),
+                F.col("b.id").alias("id_b"),
+                F.col("b.v").alias("vb"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.v").alias("va"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.v").alias("vb"),
+        cos = cosine_sim(
+            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
         )
-        .distinct()
-    )
-    cos = cosine_sim(
-        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
-    )
-    return candidates.select(
-        "id_a", "id_b", F.round(cos, 6).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
+        # eager: materialize the (small, threshold-filtered) result so the
+        # hash-once bucket cache can be released before returning
+        return (
+            candidates.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bucketed.unpersist()
 
 
 def ann_ivf_topk(

@@ -337,3 +337,28 @@ def test_ann_bruteforce_string_ids_fall_back_to_sql(spark):
     for r in got:
         e_nid, e_cos = exp[(r["query_id"], r["rank"])]
         assert math.isclose(r["cosine"], e_cos, abs_tol=2e-6)
+
+
+def test_blocked_ops_release_cached_blocks(spark):
+    """Each hash-once blocked operator persists intermediates (shingles,
+    candidates, chunks, buckets) — after the call returns, only the
+    operator's own materialized result may remain cached (≤1 new entry in
+    the block manager), never the intermediates."""
+    sc = spark.sparkContext
+    docs = _docs(spark)
+    emb, _ = _emb(spark)
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    ops = [
+        lambda: minhash_lsh_pairs(docs, n=3, threshold=0.2),
+        lambda: simhash_pairs(docs),
+        lambda: ngram_jaccard_pairs(docs, n=3, threshold=0.2),
+        lambda: ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=10),
+        lambda: embedding_cosine_pairs_lsh(emb, threshold=0.9, dim=16),
+    ]
+    for i, op in enumerate(ops):
+        before = n_cached()
+        op().count()
+        assert n_cached() - before <= 1, f"op {i} leaked cached intermediates"
