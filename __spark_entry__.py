@@ -315,23 +315,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_topk_bruteforce(qs, emb, k=3)
 
     # ----- iterative / hash-based ops ---------------------------------------
-    # triangles and bfs DO have oracle SQL (3-way self-join; bounded recursive
-    # CTE). The rest are rows-only by necessity, each pytest-verified against
-    # a pure-python oracle:
-    #  - pagerank/connected_components/cc_two_star/label_propagation: fixpoint
-    #    iterations with data-dependent trip counts — not expressible as one
-    #    DuckDB statement (recursive CTEs can't carry the float state /
-    #    per-iteration dangling-mass redistribution). tests/test_pagerank.py
-    #    asserts allclose(1e-9) vs networkx-style python PageRank;
-    #    tests/test_graph_algos.py asserts exact component/label matches.
-    #  - minhash_lsh/simhash/ann_lsh: outputs depend on xxhash64 bit patterns
-    #    — no DuckDB equivalent hash; tests assert recall/precision against
-    #    the exact operators and planted near-dup pairs.
+    # Almost all of these now have real DuckDB oracles:
+    #  - triangles / bfs: 3-way self-join; bounded recursive CTE.
+    #  - connected_components / cc_two_star: unrolled hash-min rounds (the
+    #    labels at convergence are the component minima — a fixed unroll
+    #    past the graph's convergence point reproduces them exactly).
+    #  - label_propagation: its max_iter=5 rounds unrolled exactly (argmax
+    #    with count-desc/label-asc tie-break per round).
+    #  - pagerank_5iter: 5 damped iterations with dangling-mass
+    #    redistribution unrolled, rounded to 9 decimals. The convergence
+    #    query (`pagerank`, data-dependent trip count + float fixpoint)
+    #    stays rows-only and is pytest-verified to allclose(1e-9) vs a
+    #    pure-python oracle (tests/test_pagerank.py).
+    #  - minhash_lsh/simhash/ann_lsh/ann_ivf/embed_cosine_lsh: outputs
+    #    depend on xxhash64 / hyperplane bit patterns — no DuckDB
+    #    equivalent hash; tests assert recall/precision against the exact
+    #    operators and planted near-dup pairs. These stay rows-only.
 
     def q_pagerank(spark, sf):
         edges = _edges(spark, sf).cache()
         res = pagerank(edges, tol=1e-6, max_iter=60)
         return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    def q_pagerank_5iter(spark, sf):
+        # fixed-iteration variant (tol=0 → exactly 5 supersteps): same
+        # engine loop, but SQL-expressible — the oracle unrolls the 5
+        # damped iterations including dangling-mass redistribution
+        edges = _edges(spark, sf).cache()
+        res = pagerank(edges, tol=0.0, max_iter=5)
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    def q_ngram_jaccard_capped(spark, sf):
+        # the 100 TB blocking shape: candidates only from shingles with
+        # DF ≤ max_df, Jaccard still exact over the FULL shingle sets
+        return ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=10
+        )
 
     def q_connected_components(spark, sf):
         return connected_components(_edges(spark, sf)).labels
@@ -410,9 +429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "shingles": q_shingles,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "embed_cosine": q_embed_cosine,
         "ann_topk": q_ann_topk,
         "pagerank": q_pagerank,
+        "pagerank_5iter": q_pagerank_5iter,
         "connected_components": q_connected_components,
         "cc_two_star": q_cc_two_star,
         "label_propagation": q_label_propagation,
@@ -440,6 +461,125 @@ _TOKENS_EXPR = (
 )
 
 _PUNCT_SQL = "[°^!\"§%&/()\\[\\]=\\{\\}?*+~''#,;.:\\-_\\s]+"
+
+# symmetrized undirected view + vertex set over the derived link graph —
+# shared by the unrolled CC / LPA oracles below
+_SYM_VERTS_CTE = f"""{_EDGES_CTE},
+    sym AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+      ) WHERE src <> dst
+    ),
+    verts AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+    )"""
+
+
+def _cc_hashmin_sql(rounds: int) -> str:
+    """Hash-min label propagation unrolled ``rounds`` times — one round per
+    CTE: label'(v) = min(label(v), min over undirected neighbours). At
+    convergence every label is its component's minimum vertex id, which is
+    exactly what the engine's fixpoint (hash_min AND two_star) returns, so
+    any unroll ≥ the convergence round count reproduces it bit-for-bit.
+    ``rounds`` is sized with margin over the observed convergence (≤6
+    rounds on the sf0.01/sf0.1 derived graphs)."""
+    parts = [_SYM_VERTS_CTE, ",\n    l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    l{i} AS MATERIALIZED (
+      SELECT v.id, least(v.label, COALESCE(m.nbr, v.label)) AS label
+      FROM l{i - 1} v LEFT JOIN (
+        SELECT s.dst AS id, min(l.label) AS nbr
+        FROM l{i - 1} l JOIN sym s ON s.src = l.id
+        GROUP BY s.dst
+      ) m ON m.id = v.id
+    )""")
+    parts.append(f"\n    SELECT id, label FROM l{rounds}")
+    return "".join(parts)
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Synchronous LPA unrolled exactly ``rounds`` times, replicating the
+    engine's deterministic rule (operators/label_propagation.py): adopt
+    the most frequent neighbour label, count-ties broken toward the
+    smallest label, isolated vertices keep their own. A fixpoint reached
+    before round ``rounds`` is stable under further rounds, so this
+    matches the engine's early-exit too."""
+    parts = [_SYM_VERTS_CTE, ",\n    l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    c{i} AS (
+      SELECT s.dst AS id, l.label, count(*) AS cnt
+      FROM l{i - 1} l JOIN sym s ON s.src = l.id
+      GROUP BY s.dst, l.label
+    ),
+    b{i} AS (
+      SELECT id, label AS best FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT v.id, COALESCE(b.best, v.label) AS label
+      FROM l{i - 1} v LEFT JOIN b{i} b ON b.id = v.id
+    )""")
+    parts.append(f"\n    SELECT id, label FROM l{rounds}")
+    return "".join(parts)
+
+
+def _pagerank_sql(iters: int, alpha: float = 0.85) -> str:
+    """``iters`` damped power iterations unrolled, replicating the engine's
+    update (operators/pagerank.py) in IEEE double arithmetic: r' = (1-a)/n
+    + a*dm/n + a*Σ r(u)/outdeg(u), dm = dangling mass of the previous
+    state. Constants are embedded as the exact Python float reprs the
+    engine computes with (1-a is NOT 0.15 in binary64), every literal is
+    CAST to DOUBLE so DuckDB's decimal arithmetic never engages, and the
+    result is rounded to 9 decimals on both sides — float-sum ordering
+    differences (~1e-15 relative) sit 5+ orders of magnitude below the
+    rounding quantum."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    oma = f"CAST({1.0 - alpha!r} AS DOUBLE)"
+    parts = [f"""{_EDGES_CTE},
+    verts AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+    deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    w AS MATERIALIZED (
+      SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.od AS w
+      FROM edges e JOIN deg d ON d.src = e.src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT v.id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank,
+             NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = v.id) AS dang
+      FROM verts v
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT COALESCE(sum(CASE WHEN dang THEN rank END), CAST(0 AS DOUBLE)) AS dm
+      FROM r{i - 1}
+    ),
+    c{i} AS (
+      SELECT w.dst AS id, sum(r.rank * w.w) AS contrib
+      FROM r{i - 1} r JOIN w ON w.src = r.id
+      GROUP BY w.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT v.id,
+             ({oma} / (SELECT n FROM nn)
+              + {a} * (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+             + {a} * COALESCE(c.contrib, CAST(0 AS DOUBLE)) AS rank,
+             v.dang
+      FROM r{i - 1} v LEFT JOIN c{i} c ON c.id = v.id
+    )""")
+    parts.append(f"\n    SELECT id, round(rank, 9) AS rank FROM r{iters}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -659,6 +799,41 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, UNNEST(range(1, len(t) - 1)) AS g(i)
             WHERE len(t) >= 3""",
         "ngram_jaccard": shingle_cte + jaccard_body,
+        # capped blocking (dedup.py max_df semantics): only shingles with
+        # DF ≤ 10 generate candidate pairs; Jaccard is then exact over the
+        # FULL shingle sets of those candidates
+        "ngram_jaccard_capped": shingle_cte
+        + """
+        , dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        blocking AS (
+          SELECT sh.doc_id, sh.shingle
+          FROM sh JOIN dfc ON dfc.shingle = sh.shingle
+          WHERE dfc.df <= 10
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM blocking a JOIN blocking b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2""",
+        # unrolled iterative oracles (see the generator docstrings)
+        "connected_components": _cc_hashmin_sql(16),
+        "cc_two_star": _cc_hashmin_sql(16),
+        "label_propagation": _lpa_sql(5),
+        "pagerank_5iter": _pagerank_sql(5),
         "embed_cosine": cos_cte
         + """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
