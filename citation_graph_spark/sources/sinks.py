@@ -92,3 +92,43 @@ def export_graph_attrs(vertices: DataFrame) -> DataFrame:
         year_color(F.col("year")).alias("color"),
         F.col("title").alias("title_attr"),
     )
+
+
+def render_html_graph(
+    attrs: DataFrame,
+    edges: DataFrame,
+    path: str,
+    height: str = "750px",
+    width: str = "100%",
+) -> bool:
+    """Driver-side interactive-HTML render — the reference's pyvis export
+    (``citation_graph.py:62-71``), the last step after the engine computed
+    every node attribute distributed (``export_graph_attrs`` + ``viz.py``).
+
+    By-contract SMALL: the reference renders one root expansion (hundreds
+    of nodes), so collecting here is the same driver-side render it does —
+    never call this on an uncollected web-scale graph.
+
+    pyvis is optional (not in every runtime); without it this is a no-op
+    returning False so pipelines degrade to the attribute export."""
+    try:
+        from pyvis.network import Network  # type: ignore
+    except ImportError:
+        return False
+    net = Network(height=height, width=width, directed=True)
+    node_ids = set()
+    for r in attrs.collect():
+        node_ids.add(r["id"])
+        net.add_node(
+            r["id"],
+            label=r["label"],
+            size=r["size"],
+            color=r["color"],
+            title=r["title_attr"],
+        )
+    for r in edges.select("src", "dst").collect():
+        # pyvis add_edge requires both endpoints present
+        if r["src"] in node_ids and r["dst"] in node_ids:
+            net.add_edge(r["src"], r["dst"])
+    net.save_graph(path)
+    return True

@@ -167,3 +167,69 @@ def test_checkpoint_migrates_v1_manifest(spark, tmp_path):
     # resume still works through latest()
     it, _, mf = ck.latest()
     assert it == 0 and mf["metrics"]["delta"] == 0.2
+
+
+def test_render_html_graph_with_stub(spark, tmp_path, monkeypatch):
+    """Full pyvis render path driven through a stub module: every node gets
+    the engine-computed attrs, dangling-endpoint edges are filtered, and
+    the html file is written."""
+    import sys
+    import types
+
+    calls = {"nodes": [], "edges": [], "saved": []}
+
+    class FakeNetwork:
+        def __init__(self, height=None, width=None, directed=False):
+            calls["init"] = (height, width, directed)
+
+        def add_node(self, nid, **kw):
+            calls["nodes"].append((nid, kw))
+
+        def add_edge(self, a, b):
+            calls["edges"].append((a, b))
+
+        def save_graph(self, path):
+            calls["saved"].append(path)
+            with open(path, "w") as fh:
+                fh.write("<html></html>")
+
+    mod = types.ModuleType("pyvis")
+    sub = types.ModuleType("pyvis.network")
+    sub.Network = FakeNetwork
+    mod.network = sub
+    monkeypatch.setitem(sys.modules, "pyvis", mod)
+    monkeypatch.setitem(sys.modules, "pyvis.network", sub)
+
+    from citation_graph_spark.sources.sinks import export_graph_attrs, render_html_graph
+
+    verts = spark.createDataFrame(
+        [("a", [("John", "Smith")], 5, 2001, "T1"), ("b", None, 1, 2005, "T2")],
+        "id string, authors array<struct<forename:string,lastname:string>>, "
+        "citation_count int, year int, title string",
+    )
+    edges = spark.createDataFrame([("a", "b"), ("a", "zz")], "src string, dst string")
+    out = tmp_path / "g.html"
+    assert render_html_graph(export_graph_attrs(verts), edges, str(out)) is True
+    got = {nid: kw for nid, kw in calls["nodes"]}
+    assert set(got) == {"a", "b"}
+    assert set(got["a"]) == {"label", "size", "color", "title"}
+    assert got["a"]["color"].startswith("#")
+    assert calls["edges"] == [("a", "b")]  # "zz" has no node row
+    assert out.exists()
+
+
+def test_render_html_graph_without_pyvis(spark, tmp_path, monkeypatch):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "pyvis", None)  # forces ImportError
+    from citation_graph_spark.sources.sinks import export_graph_attrs, render_html_graph
+
+    verts = spark.createDataFrame(
+        [("a", [("X", "Y")], 1, 2000, "T")],
+        "id string, authors array<struct<forename:string,lastname:string>>, "
+        "citation_count int, year int, title string",
+    )
+    edges = spark.createDataFrame([("a", "a")], "src string, dst string")
+    out = tmp_path / "none.html"
+    assert render_html_graph(export_graph_attrs(verts), edges, str(out)) is False
+    assert not out.exists()
