@@ -6,9 +6,10 @@ at sf0.001 joined with degrees (the engine's core loop end-to-end).
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family from SURVEY.md §2 plus the training-data pipeline operators; each
 oracle is DuckDB SQL over the same parquet views producing identical
-column names and values. Iterative graph algorithms (PageRank/CC/LPA) and
-hash-based ops (MinHash/SimHash/LSH) are not SQL-expressible — those
-entries omit the oracle (driver records rows-only) and are instead
+column names and values. Iterative graph algorithms now have oracles too
+(unrolled rounds: hash-min CC, 5-round LPA, 5-iteration damped PageRank);
+only the hash-based ops (MinHash/SimHash/hyperplane LSH — xxhash64 has no
+DuckDB twin) omit the oracle (driver records rows-only) and are instead
 verified by ``python -m pytest -x -q`` against pure-python oracles.
 
 The derived link graph used by graph queries: ``src = l_orderkey, dst =

@@ -63,7 +63,14 @@ def connected_components(
         edges = prepared.edges
     try:
         if algorithm == "two_star":
-            return _two_star(edges, max_iter, prepared.num_partitions)
+            # pass the shared cache only when the caller owns it — a private
+            # one would pay an extra sym materialization for a single use
+            return _two_star(
+                edges,
+                max_iter,
+                prepared.num_partitions,
+                None if owns_prepared else prepared,
+            )
         if algorithm != "hash_min":
             raise ValueError(f"unknown algorithm {algorithm!r}")
         return _hash_min(
@@ -153,7 +160,10 @@ def _hash_min(
 
 
 def _two_star(
-    edges: DataFrame, max_iter: int, num_partitions: int | None
+    edges: DataFrame,
+    max_iter: int,
+    num_partitions: int | None,
+    prepared: PreparedGraph | None = None,
 ) -> ComponentsResult:
     """Alternating star rounds over parent pointers.
 
@@ -169,8 +179,10 @@ def _two_star(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ctx = SuperstepContext()
 
-    # initial pointers: undirected neighbour pairs, both directions
-    pairs = symmetrize(edges).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # initial pointers: undirected neighbour pairs, both directions —
+    # reuse the PreparedGraph's persisted symmetrized view when available
+    sym0 = prepared.symmetrized() if prepared is not None else symmetrize(edges)
+    pairs = sym0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     state = ctx.truncate(pairs.repartition(num_partitions, "u"), 0)
     verts = vertices_of(edges).persist()
 
