@@ -144,6 +144,11 @@ def main() -> int:
         extras["pagerank_edges_per_sec"] = round(real_edges * res.iterations / dt, 1)
         # steady-state superstep throughput: median per-iteration wall,
         # excluding iteration 1 (cache warm-up) — the scaling metric
+        # full per-superstep walls, disclosed so the median/min estimators
+        # below are auditable against host-interference spikes
+        extras["pagerank_iter_seconds_all"] = [
+            h.get("seconds") for h in res.history if h["iteration"] > 0
+        ]
         iter_secs = sorted(
             h["seconds"] for h in res.history if h.get("seconds") and h["iteration"] > 1
         )
