@@ -353,6 +353,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=10
         )
 
+    def q_dup_clusters(spark, sf):
+        # transitive near-dup families: exact-Jaccard pairs → hash-min CC
+        # over the pair graph; cluster = min doc_id of the family
+        from citation_graph_spark.pipeline.dedup import duplicate_clusters
+
+        return duplicate_clusters(_t(spark, sf, "documents"), n=3, threshold=0.2)
+
+    def q_split_assign(spark, sf):
+        # reproducible train/val/test: md5-hex bucket vs fixed thresholds —
+        # engine-independent (same row → same split in Spark and DuckDB)
+        from citation_graph_spark.pipeline.sharding import deterministic_split
+
+        return deterministic_split(
+            _t(spark, sf, "documents"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split")
+
+    def q_token_bins(spark, sf):
+        # sequence-packing shards: exclusive running token total in doc_id
+        # order, bin = floor(cum / budget). (Correctness query: the global
+        # window is the small-scale formulation; the 10^12-doc path is the
+        # two-pass range-partition offsets scheme, edges.vertex_dictionary.)
+        from citation_graph_spark.pipeline.sharding import pack_token_bins
+
+        return pack_token_bins(_t(spark, sf, "documents"), budget_tokens=1000)
+
     def q_connected_components(spark, sf):
         return connected_components(_edges(spark, sf)).labels
 
@@ -431,6 +456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingles": q_shingles,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "dup_clusters": q_dup_clusters,
+        "split_assign": q_split_assign,
+        "token_bins": q_token_bins,
         "embed_cosine": q_embed_cosine,
         "ann_topk": q_ann_topk,
         "pagerank": q_pagerank,
@@ -479,15 +507,12 @@ _SYM_VERTS_CTE = f"""{_EDGES_CTE},
     )"""
 
 
-def _cc_hashmin_sql(rounds: int) -> str:
-    """Hash-min label propagation unrolled ``rounds`` times — one round per
-    CTE: label'(v) = min(label(v), min over undirected neighbours). At
-    convergence every label is its component's minimum vertex id, which is
-    exactly what the engine's fixpoint (hash_min AND two_star) returns, so
-    any unroll ≥ the convergence round count reproduces it bit-for-bit.
-    ``rounds`` is sized with margin over the observed convergence (≤6
-    rounds on the sf0.01/sf0.1 derived graphs)."""
-    parts = [_SYM_VERTS_CTE, ",\n    l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+def _hashmin_rounds(rounds: int) -> str:
+    """``,l1 .. ,l{rounds}`` CTE chain of hash-min rounds; assumes CTEs
+    ``sym (src, dst)``, ``verts (id)`` and ``l0 (id, label)`` are already
+    defined. MATERIALIZED: DuckDB inlines CTEs per reference, so a
+    self-referential unroll would otherwise expand exponentially."""
+    parts = []
     for i in range(1, rounds + 1):
         parts.append(f""",
     l{i} AS MATERIALIZED (
@@ -498,8 +523,23 @@ def _cc_hashmin_sql(rounds: int) -> str:
         GROUP BY s.dst
       ) m ON m.id = v.id
     )""")
-    parts.append(f"\n    SELECT id, label FROM l{rounds}")
     return "".join(parts)
+
+
+def _cc_hashmin_sql(rounds: int) -> str:
+    """Hash-min label propagation unrolled ``rounds`` times — one round per
+    CTE: label'(v) = min(label(v), min over undirected neighbours). At
+    convergence every label is its component's minimum vertex id, which is
+    exactly what the engine's fixpoint (hash_min AND two_star) returns, so
+    any unroll ≥ the convergence round count reproduces it bit-for-bit.
+    ``rounds`` is sized with margin over the observed convergence (≤6
+    rounds on the sf0.01/sf0.1 derived graphs)."""
+    return (
+        _SYM_VERTS_CTE
+        + ",\n    l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"
+        + _hashmin_rounds(rounds)
+        + f"\n    SELECT id, label FROM l{rounds}"
+    )
 
 
 def _lpa_sql(rounds: int) -> str:
@@ -530,6 +570,26 @@ def _lpa_sql(rounds: int) -> str:
     )""")
     parts.append(f"\n    SELECT id, label FROM l{rounds}")
     return "".join(parts)
+
+
+def _split_assign_sql() -> str:
+    """Mirror of ``sharding.deterministic_split``: md5-hex bucket compared
+    against the same precomputed thresholds (md5 hex is identical across
+    engines; the threshold table is shared python code)."""
+    from citation_graph_spark.pipeline.sharding import split_thresholds
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    bucket = "substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)"
+    whens = "".join(
+        f"\n                 WHEN {bucket} < '{bound}' THEN '{name}'"
+        for name, bound in bounds[:-1]
+    )
+    return f"""
+        SELECT doc_id,
+               CASE{whens}
+                 ELSE '{bounds[-1][0]}'
+               END AS split
+        FROM documents"""
 
 
 def _pagerank_sql(iters: int, alpha: float = 0.85) -> str:
@@ -830,6 +890,53 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2""",
+        # transitive near-dup clustering: exact-Jaccard pair graph (same
+        # construction as ngram_jaccard) → unrolled hash-min → every doc
+        # labeled by its family minimum (near-dup chains are short; 8
+        # rounds is ample margin)
+        "dup_clusters": shingle_cte
+        + """
+        , sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS MATERIALIZED (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+        ),
+        sym AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+        l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)
+        """
+        + _hashmin_rounds(8)
+        + """
+        SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN l8 l ON l.id = d.doc_id""",
+        "split_assign": _split_assign_sql(),
+        "token_bins": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKENS_EXPR}) AS n_tokens FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS BIGINT), 0) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(cum / 1000) AS BIGINT) AS bin_id
+            FROM c""",
         # unrolled iterative oracles (see the generator docstrings)
         "connected_components": _cc_hashmin_sql(16),
         "cc_two_star": _cc_hashmin_sql(16),

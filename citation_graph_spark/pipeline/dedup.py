@@ -182,6 +182,38 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_df: int | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) — transitive near-duplicate clusters.
+
+    Pairwise near-dup detection alone under-removes: A≈B and B≈C leave
+    both A and C in the corpus even when the whole chain is one document
+    family. This composes the pair generator with the engine's hash-min
+    connected components over the pair graph: ``cluster_id`` = min doc_id
+    of the connected near-dup family; docs in no pair are their own
+    cluster. Downstream dedup keeps one representative per ``cluster_id``
+    (canonical choice = the id itself, deterministic).
+
+    ``pairs``: pass a precomputed (doc_a, doc_b[, ...]) pair frame (e.g.
+    ``minhash_lsh_pairs`` output — the 100 TB path); default recomputes
+    exact ``ngram_jaccard_pairs`` (oracle-checkable)."""
+    from citation_graph_spark.operators.components import connected_components
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n, threshold, text_col, max_df)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges).labels.withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
