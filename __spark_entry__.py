@@ -378,6 +378,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_token_bins(_t(spark, sf, "documents"), budget_tokens=1000)
 
+    def q_token_bins_scalable(spark, sf):
+        # the 10^12-doc path: two-pass range-partition + per-partition
+        # offsets (no global window) — graded against the SAME oracle as
+        # token_bins, proving the scale formulation is bit-identical
+        from citation_graph_spark.pipeline.sharding import pack_token_bins_scalable
+
+        return pack_token_bins_scalable(_t(spark, sf, "documents"), budget_tokens=1000)
+
     def q_connected_components(spark, sf):
         return connected_components(_edges(spark, sf)).labels
 
@@ -459,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "split_assign": q_split_assign,
         "token_bins": q_token_bins,
+        "token_bins_scalable": q_token_bins_scalable,
         "embed_cosine": q_embed_cosine,
         "ann_topk": q_ann_topk,
         "pagerank": q_pagerank,
@@ -570,6 +579,23 @@ def _lpa_sql(rounds: int) -> str:
     )""")
     parts.append(f"\n    SELECT id, label FROM l{rounds}")
     return "".join(parts)
+
+
+_TOKEN_BINS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKENS_EXPR}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(CAST(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cum / 1000) AS BIGINT) AS bin_id
+    FROM c"""
 
 
 def _split_assign_sql() -> str:
@@ -922,21 +948,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN l8 l ON l.id = d.doc_id""",
         "split_assign": _split_assign_sql(),
-        "token_bins": f"""
-            WITH t AS (
-              SELECT doc_id, len({_TOKENS_EXPR}) AS n_tokens FROM documents
-            ),
-            c AS (
-              SELECT doc_id, n_tokens,
-                     COALESCE(CAST(sum(n_tokens) OVER (
-                       ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ) AS BIGINT), 0) AS cum
-              FROM t
-            )
-            SELECT doc_id, n_tokens,
-                   CAST(floor(cum / 1000) AS BIGINT) AS bin_id
-            FROM c""",
+        "token_bins": _TOKEN_BINS_SQL,
+        # the two-pass scale formulation must be bit-identical to the
+        # window formulation — same oracle on purpose
+        "token_bins_scalable": _TOKEN_BINS_SQL,
         # unrolled iterative oracles (see the generator docstrings)
         "connected_components": _cc_hashmin_sql(16),
         "cc_two_star": _cc_hashmin_sql(16),

@@ -95,3 +95,80 @@ def pack_token_bins(
         docs.select(id_col, n)
         .withColumn("bin_id", F.floor(cum_before / F.lit(budget_tokens)))
     )
+
+
+def pack_token_bins_scalable(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Same contract and bit-identical output as :func:`pack_token_bins`,
+    without the global window (which funnels every row through ONE task).
+
+    Two-pass running sum, the same scheme as ``edges.vertex_dictionary``:
+
+      1. range-repartition + sort by ``id_col`` (a distributed sort:
+         partition i holds the i-th id range),
+      2. one tiny driver action collects per-partition TOKEN TOTALS →
+         cumulative offsets (|partitions| numbers, not |rows|),
+      3. a narrow Arrow ``mapInPandas`` pass assigns
+         ``bin_id = floor((offset[pid] + local_exclusive_cumsum)/budget)``.
+
+    Every partition works independently; driver data is one number per
+    partition. This is the 10^12-doc path; the window formulation stays
+    as the oracle-checkable reference semantics."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    parted = (
+        base.repartitionByRange(num_partitions, id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = {
+            r["pid"]: r["t"]
+            for r in parted.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += int(totals[pid])
+
+        def assign(batches):
+            import pandas as pd
+
+            consumed = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                start = offsets[int(pdf["pid"].iloc[0])] + consumed
+                counts = pdf["n_tokens"].to_numpy()
+                cum_before = start + counts.cumsum() - counts
+                consumed += int(counts.sum())
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_tokens": pdf["n_tokens"],
+                        "bin_id": cum_before // budget_tokens,
+                    }
+                )
+
+        id_type = base.schema[id_col].dataType.simpleString()
+        out = parted.mapInPandas(
+            assign, f"{id_col} {id_type}, n_tokens int, bin_id long"
+        )
+        # materialize before unpersisting: mapInPandas reads the cached
+        # range-partitioned blocks whose pids the offsets were built from
+        return out.localCheckpoint(eager=True)
+    finally:
+        parted.unpersist()

@@ -96,3 +96,23 @@ def test_duplicate_clusters_accepts_precomputed_pairs(spark):
         for r in duplicate_clusters(docs, pairs=pairs).collect()
     }
     assert got == {1: 1, 2: 1, 5: 1, 9: 9}
+
+
+def test_pack_token_bins_scalable_matches_window_version(spark):
+    from citation_graph_spark.pipeline.sharding import pack_token_bins_scalable
+
+    rows = [(i * 3 + 1, "w " * (3 + (i * 11) % 60)) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    window_out = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in pack_token_bins(docs, budget_tokens=256).collect()
+    }
+    scalable_out = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in pack_token_bins_scalable(docs, budget_tokens=256).collect()
+    }
+    assert scalable_out == window_out
+    # schema parity too (the driver's value hash is type-sensitive)
+    a = dict(pack_token_bins(docs, budget_tokens=256).dtypes)
+    b = dict(pack_token_bins_scalable(docs, budget_tokens=256).dtypes)
+    assert a == b
