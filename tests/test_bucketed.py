@@ -69,3 +69,55 @@ def test_bucketed_bucket_pruning_filter(spark):
     finally:
         spark.conf.set(key, old)
         spark.sql("DROP TABLE edges_bkt_prune")
+
+
+def test_prepared_graph_from_bucketed_table(spark):
+    """PreparedGraph.from_bucketed_table builds the weighted edge cache
+    with ZERO Exchange (the bucketed layout already co-locates and sorts
+    by src), and pagerank over it matches the in-memory path exactly."""
+    import math
+
+    from citation_graph_spark.operators.pagerank import pagerank
+    from citation_graph_spark.operators.prepared import PreparedGraph
+
+    edges = spark.range(0, 3000).select(
+        (F.col("id") % 300).alias("src"),
+        ((F.col("id") * 13) % 401).alias("dst"),
+        (F.col("id") % 5).cast("int").alias("pos"),
+    )
+    spark.sql("DROP TABLE IF EXISTS edges_bkt_pg")
+    write_bucketed(edges, "edges_bkt_pg", buckets=8)
+    try:
+        pg = PreparedGraph.from_bucketed_table(spark, "edges_bkt_pg")
+        w = pg.weighted_edges()
+        # no SHUFFLE exchange anywhere in the weighted-cache build: the
+        # edge table is never redistributed (a BroadcastExchange of the
+        # small degree side is fine — that's not a shuffle of the edges)
+        assert "Exchange hashpartitioning" not in _plan(w), _plan(w)
+        assert "Bucketed: true" in _plan(w), _plan(w)
+
+        # superstep-shaped join: above the cache boundary (the part
+        # executed EVERY superstep) the edge side is a bare cache scan —
+        # the only Sort and the only shuffle belong to the rank side
+        ranks = spark.range(0, 300).select(F.col("id"), F.lit(1.0).alias("rank"))
+        joined = ranks.join(w.hint("merge"), ranks.id == w.src)
+        per_step = _plan(
+            joined.groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("m"))
+        ).split("InMemoryRelation")[0]
+        assert per_step.count("Sort [") == 1, per_step
+        # two shuffles total: rank side into the join + the dst aggregation
+        assert per_step.count("Exchange hashpartitioning") == 2, per_step
+
+        baseline = {
+            r["id"]: r["rank"] for r in pagerank(edges, tol=1e-9).ranks.collect()
+        }
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank(prepared=pg, tol=1e-9).ranks.collect()
+        }
+        assert set(got) == set(baseline)
+        for v in baseline:
+            assert math.isclose(got[v], baseline[v], abs_tol=1e-12), v
+        pg.unpersist()
+    finally:
+        spark.sql("DROP TABLE edges_bkt_pg")
