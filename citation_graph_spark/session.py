@@ -72,6 +72,25 @@ def get_spark(
     return spark
 
 
+def build_package_zip(dest: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` (scripts and the
+    submit smoke test use this; ``get_spark`` uses it via addPyFile)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(), "citation_graph_spark_pkg.zip")
+    with zipfile.ZipFile(dest, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for name in files:
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.join(
+                    "citation_graph_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    return dest
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executor Python workers (``addPyFile`` — the
     programmatic twin of ``spark-submit --py-files engine.zip``).
@@ -80,18 +99,13 @@ def _ship_package(spark: SparkSession) -> None:
     unpickle on workers whenever the driver found the package via a
     sys.path entry the workers don't share."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported FROM a zip: spark-submit --py-files ships it to
+        # the workers, nothing to re-zip (and os.walk would find nothing)
+        return
     zip_path = os.path.join(tempfile.gettempdir(), "citation_graph_spark_pkg.zip")
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < _newest_mtime(pkg_dir):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for name in files:
-                    if not name.endswith(".py"):
-                        continue
-                    full = os.path.join(root, name)
-                    rel = os.path.join(
-                        "citation_graph_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+        build_package_zip(zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 
