@@ -249,6 +249,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("view_value_asof").alias("last_view_value"),
         )
 
+    def q_range_join(spark, sf):
+        # point-in-interval: each click joined to every view window
+        # [view_ts, view_ts + 30 min) of the same user — the bucketed
+        # equi-join formulation (operators/range_join.py), never a
+        # nested-loop plan; oracle = the plain inequality join
+        from citation_graph_spark.operators.range_join import point_in_interval_join
+
+        e = _t(spark, sf, "events")
+        clicks = e.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = e.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+        out = point_in_interval_join(
+            clicks, views, on="user_id", bucket_seconds=900
+        )
+        return out.select("event_id", "user_id", "ts", "view_id", "start")
+
     def q_percentiles(spark, sf):
         li = _t(spark, sf, "lineitem")
         return li.groupBy("l_returnflag").agg(
@@ -454,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "point_lookup": q_point_lookup,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "percentiles": q_percentiles,
         "pivot": q_pivot,
         "rollup": q_rollup,
@@ -814,6 +837,19 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "range_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT event_id AS view_id, user_id, ts AS start,
+                     ts + INTERVAL 30 MINUTE AS e
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id, c.ts, v.view_id, v.start
+            FROM clicks c
+            JOIN views v
+              ON v.user_id = c.user_id AND c.ts >= v.start AND c.ts < v.e""",
         "percentiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
