@@ -56,13 +56,26 @@ def _triangles_from(e: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
     """All triangles as rows (a, b, c) — a is the (degree, id)-smallest
-    corner; each triangle exactly once. Lazy: the oriented table is
-    recomputed per reference in the final plan — prefer the terminal
-    wrappers below (which persist it for the duration of one aggregation
-    and release it before returning) unless you need the raw list."""
-    return _triangles_from(_oriented(edges))
+    corner; each triangle exactly once.
+
+    WARNING — plan cost: the oriented table is referenced THREE times in
+    the result plan (wedge self-join + closing join). With the lazy
+    default, an action on the raw triangle list recomputes the
+    orientation (symmetrize + two degree joins) three times. Either use
+    the terminal wrappers below (which persist the oriented table for the
+    duration of one aggregation and release it afterwards), or pass a
+    pre-persisted oriented frame via ``oriented`` (build it with
+    ``oriented_edges(edges).persist()``) and own its release."""
+    return _triangles_from(oriented if oriented is not None else _oriented(edges))
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Public access to the degree-ordered orientation — persist this and
+    pass it to ``triangles(edges, oriented=...)`` when you need the raw
+    triangle list without paying the 3× orientation recompute."""
+    return _oriented(edges)
 
 
 def triangle_count(edges: DataFrame) -> int:
@@ -76,24 +89,26 @@ def triangle_count(edges: DataFrame) -> int:
 
 def triangle_counts_per_vertex(edges: DataFrame) -> DataFrame:
     """(id, triangles) — how many triangles each vertex participates in.
-    Vertices in no triangle get 0. Eager: the |V|-row result is
-    materialized so the oriented edge cache is released before returning."""
-    e = _oriented(edges).persist()
-    try:
-        tri = _triangles_from(e)
-        corners = (
-            tri.select(F.col("a").alias("id"))
-            .unionAll(tri.select(F.col("b").alias("id")))
-            .unionAll(tri.select(F.col("c").alias("id")))
-        )
-        counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
-        from citation_graph_spark.edges import vertices_of
+    Vertices in no triangle get 0.
 
-        return (
-            vertices_of(edges)
-            .join(counts, "id", "left")
-            .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        e.unpersist()
+    Lazy result (the caller owns its persistence — see caching.py); the
+    persisted oriented-edge intermediate is released when the returned
+    DataFrame is garbage-collected."""
+    from citation_graph_spark.caching import release_on_gc
+
+    e = _oriented(edges).persist()
+    tri = _triangles_from(e)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    from citation_graph_spark.edges import vertices_of
+
+    return release_on_gc(
+        vertices_of(edges)
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles")),
+        e,
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from citation_graph_spark.caching import release_on_gc
 from citation_graph_spark.pipeline.text import fingerprint, tokenize
 
 
@@ -134,52 +135,50 @@ def ngram_jaccard_pairs(
     vanishingly unlikely for true near-duplicates. ``max_df=None`` (default)
     is the exact, oracle-checkable all-blocking behavior.
 
-    Eager: the (threshold-filtered, small) result is materialized before
-    returning so the persisted shingle/candidate intermediates can be
-    released — no cached blocks outlive the call (the vertex_dictionary
-    contract, edges.py)."""
+    Lazy: the caller owns persistence of the result (an eager checkpoint
+    here would block filter/limit pushdown and pin non-replicated blocks —
+    see caching.py). The persisted shingle/candidate intermediates are
+    released when the returned DataFrame is garbage-collected."""
     sh = shingles(docs, n, text_col).persist()
-    candidates = None
-    try:
-        if max_df is None:
-            a = sh.alias("a")
-            b = sh.alias("b")
-            inter = (
-                a.join(
-                    b,
-                    (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")),
-                )
-                .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-                .agg(F.count("*").alias("n_common"))
+    if max_df is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            scored = _jaccard_from_intersections(inter, sh)
-        else:
-            rare = (
-                sh.groupBy("shingle")
-                .agg(F.count("*").alias("df"))
-                .where(F.col("df") <= max_df)
-                .select("shingle")
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        scored = _jaccard_from_intersections(inter, sh)
+        intermediates = (sh,)
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        blocking = sh.join(rare, "shingle", "left_semi")
+        a = blocking.alias("a")
+        b = blocking.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            blocking = sh.join(rare, "shingle", "left_semi")
-            a = blocking.alias("a")
-            b = blocking.alias("b")
-            candidates = (
-                a.join(
-                    b,
-                    (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")),
-                )
-                .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-                .distinct()
-                .persist()
-            )
-            scored = exact_jaccard_for_candidates(candidates, sh)
-        return scored.where(F.col("jaccard") >= threshold).localCheckpoint(eager=True)
-    finally:
-        if candidates is not None:
-            candidates.unpersist()
-        sh.unpersist()
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .persist()
+        )
+        scored = exact_jaccard_for_candidates(candidates, sh)
+        intermediates = (candidates, sh)
+    return release_on_gc(
+        scored.where(F.col("jaccard") >= threshold), *intermediates
+    )
 
 
 def duplicate_clusters(
@@ -298,6 +297,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     threshold: float = 0.5,
     text_col: str = "text",
+    signatures_out: str | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard.
 
@@ -307,27 +307,35 @@ def minhash_lsh_pairs(
     ONLY over candidate pairs (``exact_jaccard_for_candidates``) — verify
     work scales with |candidates|, never with the number of
     shared-shingle pairs in the corpus. LSH only affects candidate recall;
-    every emitted pair's Jaccard is exact."""
+    every emitted pair's Jaccard is exact.
+
+    ``signatures_out``: optional parquet path for the ``(doc_id, sig)``
+    signature table. When set, signatures are written there and the
+    banding stage consumes the *re-read* table — a durable signature
+    store (at 100 TB you hash the corpus once and keep the signatures;
+    incremental batches only hash new docs), and the materialized values
+    are exactly what downstream banding joined on, so an external checker
+    can reproduce banding/bucket-join/verify from the store alone.
+
+    Lazy result; intermediates released on result GC (see caching.py)."""
     # persist: the verify step references candidates 3× (two id-prunes +
     # the intersection join) and shingles 3× — without a shared
     # materialization each reference would recompute signatures + the
     # banding self-join from scratch (measured 4× wall at sf0.01). This is
     # the hash-once contract: shingle/sign/bucket the corpus a single time.
-    # Eager result materialization lets both intermediates be released
-    # before returning — no cached blocks outlive the call.
     sh = shingles(docs, n, text_col).persist()
-    candidates = _lsh_candidates_from_signatures(
-        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
-    ).persist()
-    try:
-        return (
-            exact_jaccard_for_candidates(candidates, sh)
-            .where(F.col("jaccard") >= threshold)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        candidates.unpersist()
-        sh.unpersist()
+    sig = _signatures_from_shingles(sh, num_hashes)
+    if signatures_out is not None:
+        sig.write.mode("overwrite").parquet(signatures_out)
+        sig = docs.sparkSession.read.parquet(signatures_out)
+    candidates = _lsh_candidates_from_signatures(sig, num_hashes, bands).persist()
+    return release_on_gc(
+        exact_jaccard_for_candidates(candidates, sh).where(
+            F.col("jaccard") >= threshold
+        ),
+        candidates,
+        sh,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -335,19 +343,31 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame, text_col: str = "text", token_hashes_out: str | None = None
+) -> DataFrame:
     """(doc_id, simhash long) — 64-bit SimHash: for each bit, the sign of
     the sum over tokens of ±1 by that bit of xxhash64(token). Built from
-    bitwise column expressions over the exploded token table (one shuffle)."""
+    bitwise column expressions over the exploded token table (one shuffle).
+
+    ``token_hashes_out``: optional parquet path for the per-token-instance
+    ``(doc_id, h)`` hash table. When set, it is written and the bit-sum
+    aggregation consumes the *re-read* table, so everything downstream of
+    the (engine-specific) xxhash64 is reproducible by an external checker
+    from the store alone."""
     toks = docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    if token_hashes_out is not None:
+        th.write.mode("overwrite").parquet(token_hashes_out)
+        th = docs.sparkSession.read.parquet(token_hashes_out)
+    h = F.col("h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    agg = th.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -379,32 +399,30 @@ def simhash_pairs(
             )
         ).alias("chunk_no", "chunk"),
     ).persist()
-    try:
-        x = chunks.alias("x")
-        y = chunks.alias("y")
-        cand = (
-            x.join(
-                y,
-                (F.col("x.chunk_no") == F.col("y.chunk_no"))
-                & (F.col("x.chunk") == F.col("y.chunk"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            )
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-                F.col("x.simhash").alias("sim_a"),
-                F.col("y.simhash").alias("sim_b"),
-            )
-            .distinct()
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.chunk_no") == F.col("y.chunk_no"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        return (
-            cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .localCheckpoint(eager=True)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
         )
-    finally:
-        chunks.unpersist()
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return release_on_gc(
+        cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+            F.col("hamming") <= max_hamming
+        ),
+        chunks,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
+from citation_graph_spark.caching import release_on_gc
 from citation_graph_spark.pipeline.dedup import cosine_sim
 
 
@@ -144,6 +145,7 @@ def embedding_cosine_pairs_lsh(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets_out: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) near-dup pairs at scale — the LSH counterpart
     of ``dedup.embedding_cosine_pairs`` (which is the exact O(n²) baseline).
@@ -151,7 +153,15 @@ def embedding_cosine_pairs_lsh(
     The corpus is hashed once into ``tables`` sign-bit buckets; candidates
     = pairs sharing a bucket in ≥1 table; exact cosine verify over the
     candidates only. Recall < 1 by design (a pair landing in different
-    buckets in every table is missed); every emitted cosine is exact."""
+    buckets in every table is missed); every emitted cosine is exact.
+
+    ``buckets_out``: optional parquet path for the ``(id, tbl, bucket)``
+    assignment table — a durable bucket store (hash the corpus once, keep
+    the buckets; an external checker reproduces candidate-join + verify
+    from it, since the signature UDF is deterministic per vector).
+
+    Lazy result; the hash-once bucket cache is released on result GC
+    (see caching.py)."""
     sig_udf = make_lsh_signatures_udf(dim, tables, planes)
     # persist = the hash-once contract: the self-join below would otherwise
     # run the signature UDF over the corpus twice
@@ -160,36 +170,89 @@ def embedding_cosine_pairs_lsh(
         F.col(vec_col).alias("v"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket"),
     ).persist()
-    try:
-        a = bucketed.alias("a")
-        b = bucketed.alias("b")
-        candidates = (
-            a.join(
-                b,
-                (F.col("a.tbl") == F.col("b.tbl"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
+    if buckets_out is not None:
+        bucketed.select("id", "tbl", "bucket").write.mode("overwrite").parquet(
+            buckets_out
+        )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("va"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    cos = cosine_sim(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    return release_on_gc(
+        candidates.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).where(
+            F.col("cosine") >= threshold
+        ),
+        bucketed,
+    )
+
+
+def _nearest_cells_udf(cents: "np.ndarray", probe: int, dim: int):
+    """pandas UDF: embedding → the ``probe`` nearest centroid indices by
+    cosine (one GEMV per Arrow batch against the broadcast-captured
+    centroid matrix)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_cells(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())[:, :dim].astype("float64")
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :probe].astype("int32")
+        return pd.Series(list(top))
+
+    return nearest_cells
+
+
+def _lloyd_refine(
+    train: DataFrame, cents: "np.ndarray", iters: int, dim: int, vec_col: str
+) -> "np.ndarray":
+    """Spherical k-means refinement of the centroid matrix, distributed.
+
+    Each iteration: assign every training vector to its nearest centroid
+    (GEMV pandas UDF), compute per-cell mean via posexplode + groupBy
+    (|cells|·dim rows collected — tiny), renormalize; empty cells keep
+    their previous centroid. Everything is one UDF pass + one built-in
+    aggregation per iteration — no driver-side loops over vectors."""
+    for _ in range(iters):
+        assign_udf = _nearest_cells_udf(cents, 1, dim)
+        comps = (
+            train.select(
+                F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
+                F.posexplode(
+                    F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+                ).alias("pos", "val"),
             )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("a.v").alias("va"),
-                F.col("b.id").alias("id_b"),
-                F.col("b.v").alias("vb"),
-            )
-            .distinct()
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
         )
-        cos = cosine_sim(
-            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
-        )
-        # eager: materialize the (small, threshold-filtered) result so the
-        # hash-once bucket cache can be released before returning
-        return (
-            candidates.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-            .where(F.col("cosine") >= threshold)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        bucketed.unpersist()
+        new = cents.copy()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in comps:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["c"]
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        norms = np.maximum(np.linalg.norm(means, axis=1, keepdims=True), 1e-12)
+        new[nonempty] = means / norms
+        cents = new
+    return cents
 
 
 def ann_ivf_topk(
@@ -202,17 +265,30 @@ def ann_ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 3,
+    train_fraction: float = 1.0,
+    cells_out: str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — IVF (inverted-file) ANN.
 
-    Coarse quantizer: ``n_centroids`` centroids taken as a deterministic
-    hash-ordered sample of the corpus itself (data-dependent, no RNG state,
-    reproducible across runs/executors — the k-means-free analog of IVF
-    training; one tiny driver collect, like broadcasting trained
-    centroids). Every corpus vector is assigned to its nearest centroid
-    (one GEMV pandas UDF pass — the inverted file, built once); queries
-    probe their ``n_probe`` nearest cells and re-rank candidates with
-    exact cosine. Recall < 1 by design; emitted cosines are exact.
+    Coarse quantizer: ``n_centroids`` seed centroids taken as a
+    deterministic hash-ordered sample of the corpus (data-dependent, no
+    RNG state, reproducible across runs/executors), then refined with
+    ``lloyd_iters`` spherical k-means iterations run distributed (assign
+    via GEMV pandas UDF → per-cell mean via built-in aggregation →
+    renormalize). Every corpus vector is assigned to its nearest centroid
+    (the inverted file, built once); queries probe their ``n_probe``
+    nearest cells and re-rank candidates with exact cosine. Recall < 1 by
+    design; emitted cosines are exact.
+
+    ``train_fraction``: deterministic hash-sampled subset used for Lloyd
+    training (at 100 TB you train the 2¹⁰-centroid quantizer on ~10⁻⁶ of
+    the corpus — a scan-side filter, never a sort).
+
+    ``cells_out``: optional parquet root; writes ``{cells_out}/corpus``
+    and ``{cells_out}/queries`` as ``(id, cells array<int>)`` — the
+    durable inverted file + probe lists, from which an external checker
+    reproduces the probe-join + re-rank exactly.
 
     vs ``ann_lsh_topk``: IVF cells adapt to the data distribution (good
     for clustered embeddings); LSH is data-oblivious (good when the
@@ -227,25 +303,47 @@ def ann_ivf_topk(
     )
     cents = np.stack([np.asarray(r["v"][:dim], dtype="float64") for r in sample])
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    if lloyd_iters > 0:
+        train = corpus
+        if train_fraction < 1.0:
+            bound = int(train_fraction * 1_000_000)
+            train = corpus.where(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1)),
+                    F.lit(1_000_000),
+                )
+                < bound
+            )
+        cents = _lloyd_refine(train, cents, lloyd_iters, dim, vec_col)
     probe = min(n_probe, len(cents))
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def nearest_cells(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy())[:, :dim].astype("float64")
-        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = (mat / norms) @ cents.T
-        top = np.argsort(-sims, axis=1)[:, :probe].astype("int32")
-        return pd.Series(list(top))
-
-    inverted = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_id_v"),
-        F.element_at(nearest_cells(F.col(vec_col)), 1).alias("cell"),
+    nearest_cells = _nearest_cells_udf(cents, probe, dim)
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        nearest_cells(F.col(vec_col)).alias("cells"),
     )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_id_v"),
-        F.explode(nearest_cells(F.col(vec_col))).alias("cell"),
+    query_cells = queries.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        nearest_cells(F.col(vec_col)).alias("cells"),
+    )
+    if cells_out is not None:
+        corpus_cells.select("id", "cells").write.mode("overwrite").parquet(
+            cells_out + "/corpus"
+        )
+        query_cells.select("id", "cells").write.mode("overwrite").parquet(
+            cells_out + "/queries"
+        )
+    inverted = corpus_cells.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("neighbor_id_v"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    probes = query_cells.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("query_id_v"),
+        F.explode("cells").alias("cell"),
     )
     candidates = (
         probes.join(inverted, "cell")
@@ -309,12 +407,19 @@ def ann_lsh_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets_out: str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — approximate top-k.
 
     Corpus hashed once into ``tables`` bucket columns (exploded to rows,
     partitioned by (table, bucket)); queries probe the matching buckets;
-    exact cosine + window top-k over the candidate union."""
+    exact cosine + window top-k over the candidate union.
+
+    ``buckets_out``: optional parquet path for the corpus ``(id, tbl,
+    bucket)`` assignment table — the durable inverted index of the scale
+    deployment (hash the corpus once, keep the buckets; queries probe the
+    store). The signature UDF is deterministic per vector, so the store
+    is exactly what the probe join matches against."""
     sig_udf = make_lsh_signatures_udf(dim, tables, planes)
 
     def bucketize(df: DataFrame, out_id: str) -> DataFrame:
@@ -326,6 +431,10 @@ def ann_lsh_topk(
 
     cq = bucketize(queries, "query_id")
     cc = bucketize(corpus, "neighbor_id")
+    if buckets_out is not None:
+        cc.select(
+            F.col("neighbor_id").alias("id"), "tbl", "bucket"
+        ).write.mode("overwrite").parquet(buckets_out)
     candidates = (
         cq.join(cc, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
