@@ -262,11 +262,18 @@ def main() -> int:
     if only is None or "ann_lsh" in only:
         extras["ann_lsh_params"] = "tables=16,planes=4"
     if only is None or "ann_ivf" in only:
-        extras["ann_ivf_params"] = "n_centroids=16,n_probe=4"
+        # measured knee (BENCH.md grid): Lloyd-refined 64 cells, probe 16,
+        # multi-assign 2 → recall@10 0.86 at 0.43 candidate fraction
+        extras["ann_ivf_params"] = "n_centroids=64,n_probe=16,n_assign=2,lloyd=3"
     _bench_ann_approx(
         "ann_lsh", lambda q, c: ann_lsh_topk(q, c, k=10, dim=64, tables=16, planes=4)
     )
-    _bench_ann_approx("ann_ivf", lambda q, c: ann_ivf_topk(q, c, k=10, dim=64))
+    _bench_ann_approx(
+        "ann_ivf",
+        lambda q, c: ann_ivf_topk(
+            q, c, k=10, dim=64, n_centroids=64, n_probe=16, n_assign=2
+        ),
+    )
     if "ann_exact" in shared:
         shared["ann_exact"].unpersist()
 
