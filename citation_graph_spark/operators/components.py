@@ -70,6 +70,9 @@ def connected_components(
                 max_iter,
                 prepared.num_partitions,
                 None if owns_prepared else prepared,
+                checkpoint_dir,
+                durable_every,
+                resume,
             )
         if algorithm != "hash_min":
             raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -164,6 +167,9 @@ def _two_star(
     max_iter: int,
     num_partitions: int | None,
     prepared: PreparedGraph | None = None,
+    checkpoint_dir: str | None = None,
+    durable_every: int = 5,
+    resume: bool = True,
 ) -> ComponentsResult:
     """Alternating star rounds over parent pointers.
 
@@ -173,18 +179,73 @@ def _two_star(
     Converges when the pointer set is a fixpoint (a forest of depth-1
     stars rooted at component minima). Each phase is one groupBy + one
     join — O(log n) rounds total regardless of diameter.
+
+    Checkpoint/resume mirrors ``_hash_min`` (reference analog:
+    ``src/citation_graph/cache_manager.py:221-237``): the durable state is
+    the pointer set; the manifest carries the pointer count + the
+    order-independent xxhash64 checksum, so a resumed run re-enters the
+    fixpoint test exactly where the killed run left it. Star rounds are
+    deterministic set transforms, so kill/resume is byte-identical to an
+    uninterrupted run. This matters precisely here: two-star is the
+    long-diameter O(log n) path — the variant an hour-long 100× run uses.
     """
+    import decimal
+
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ctx = SuperstepContext()
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            args={"algorithm": "cc_two_star", "max_iter": max_iter},
+        )
+    ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
+
+    verts = vertices_of(edges).persist()
+
+    def finish_labels(state: DataFrame, it: int, converged: bool) -> ComponentsResult:
+        # at fixpoint every pointer is (u, component_min); centers point
+        # to self
+        labels = state.where(F.col("v") <= F.col("u")).groupBy("u").agg(
+            F.min("v").alias("label")
+        )
+        result = (
+            verts.join(labels.withColumnRenamed("u", "id"), "id", "left")
+            .select("id", F.coalesce("label", "id").alias("label"))
+        )
+        verts.unpersist()
+        return ComponentsResult(result, it, converged, ctx.history)
+
+    start_iter = 1
+    state = None
+    prev_sum = None
+    if ckpt is not None and resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            it, state_df, manifest = latest
+            from citation_graph_spark.sources.checkpoint import resume_compatible
+
+            if resume_compatible(manifest.get("args"), ckpt.args):
+                metrics = manifest["metrics"]
+                if metrics.get("converged"):
+                    return finish_labels(state_df, it, True)
+                state = state_df
+                if metrics.get("checksum") is not None:
+                    prev_sum = (
+                        metrics["pointers"],
+                        decimal.Decimal(metrics["checksum"]),
+                    )
+                start_iter = it + 1
 
     # initial pointers: undirected neighbour pairs, both directions —
     # reuse the PreparedGraph's persisted symmetrized view when available
-    sym0 = prepared.symmetrized() if prepared is not None else symmetrize(edges)
-    pairs = sym0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    state = ctx.truncate(pairs.repartition(num_partitions, "u"), 0)
-    verts = vertices_of(edges).persist()
+    if state is None:
+        sym0 = prepared.symmetrized() if prepared is not None else symmetrize(edges)
+        pairs = sym0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        state = ctx.truncate(pairs.repartition(num_partitions, "u"), 0)
 
     def large_star(p: DataFrame) -> DataFrame:
         # Γ(u) is the SYMMETRIC neighbourhood (each edge contributes both
@@ -219,30 +280,58 @@ def _two_star(
     def checksum(p: DataFrame):
         row = p.agg(
             F.count("*").alias("n"),
-            # decimal sum: long would overflow under ANSI mode
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            # decimal sum: long would overflow under ANSI mode; coalesce so
+            # an empty pointer set checksums to 0, not NULL (manifest JSON)
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
         ).first()
         return (row["n"], row["h"])
 
-    prev_sum = checksum(state)
-    it = 0
+    if prev_sum is None:
+        prev_sum = checksum(state)
+        # iteration-0 manifest carries the initial checksum so a run killed
+        # before its first durable round still resumes with a fixpoint test
+        state = ctx.record(
+            state,
+            0,
+            {
+                "pointers": prev_sum[0],
+                "checksum": str(prev_sum[1]),
+                "converged": False,
+            },
+        )
+    last_sum = prev_sum
+    it = start_iter - 1
     converged = False
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter, max_iter + 1):
         state = ctx.truncate(small_star(large_star(state)), it)
         cur_sum = checksum(state)
-        ctx.record(state, it, {"pointers": cur_sum[0]})
-        if cur_sum == prev_sum:
-            converged = True
+        converged = cur_sum == prev_sum
+        state = ctx.record(
+            state,
+            it,
+            {
+                "pointers": cur_sum[0],
+                "checksum": str(cur_sum[1]),
+                "converged": converged,
+            },
+        )
+        last_sum = cur_sum
+        if converged:
             break
         prev_sum = cur_sum
 
-    # at fixpoint every pointer is (u, component_min); centers point to self
-    labels = state.where(F.col("v") <= F.col("u")).groupBy("u").agg(
-        F.min("v").alias("label")
-    )
-    result = (
-        verts.join(labels.withColumnRenamed("u", "id"), "id", "left")
-        .select("id", F.coalesce("label", "id").alias("label"))
-    )
-    verts.unpersist()
-    return ComponentsResult(result, it, converged, ctx.history)
+    if ckpt is not None:
+        state = ctx.finish(
+            state,
+            it,
+            {
+                "pointers": last_sum[0],
+                "checksum": str(last_sum[1]),
+                "converged": converged,
+                "final": converged,
+            },
+        )
+    return finish_labels(state, it, converged)

@@ -124,3 +124,48 @@ def test_two_star_long_diameter_fewer_rounds(spark):
     labels = {r["id"]: r["label"] for r in ts.labels.collect()}
     assert set(labels.values()) == {0}
     assert ts.iterations <= 10
+
+
+def test_two_star_kill_resume_exact(spark, tmp_path):
+    """Two-star is the long-diameter O(log n) path — the variant an
+    hour-long 100x run uses, so it needs the same kill/resume story as
+    hash-min: a run killed after round k and resumed must be byte-identical
+    to the uninterrupted run (star rounds are deterministic set
+    transforms)."""
+    edges = datagen.zipf_edges(spark, 250, 400, seed=31).cache()
+    ck = str(tmp_path / "ck_ts")
+
+    full = connected_components(
+        edges, algorithm="two_star", checkpoint_dir=ck, durable_every=1
+    )
+    assert full.converged
+    baseline = {r["id"]: r["label"] for r in full.labels.collect()}
+
+    # simulate a kill after round 2: drop all later durable state
+    for name in os.listdir(ck):
+        if name.startswith("iter=") and int(name.split("=")[1]) > 2:
+            shutil.rmtree(os.path.join(ck, name))
+    resumed = connected_components(
+        edges, algorithm="two_star", checkpoint_dir=ck, durable_every=1
+    )
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == baseline
+    # the resumed run re-entered mid-iteration, not from round 1
+    assert resumed.history and resumed.history[0]["iteration"] == 3
+
+
+def test_two_star_resume_converged_is_instant(spark, tmp_path):
+    edges = datagen.cycle_edges(spark, 40)
+    ck = str(tmp_path / "ck_ts2")
+    first = connected_components(
+        edges, algorithm="two_star", checkpoint_dir=ck, durable_every=1
+    )
+    assert first.converged
+    again = connected_components(
+        edges, algorithm="two_star", checkpoint_dir=ck, durable_every=1
+    )
+    assert again.converged
+    assert again.history == []  # no star rounds re-run
+    assert {r["id"]: r["label"] for r in again.labels.collect()} == {
+        r["id"]: r["label"] for r in first.labels.collect()
+    }
