@@ -63,14 +63,45 @@ def extract_text_oracle(html: bytes | None) -> str | None:
     return WS_RE.sub(" ", stripped).strip()
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def extract_links(html: pd.Series) -> pd.Series:
-    """Vectorized href extraction: binary html → array<string> of targets."""
-    decoded = html.str.decode(*_DECODE)
-    return decoded.map(
-        lambda s: _hrefs(s) if s is not None else [],
-        na_action=None,
-    )
+def make_extract_links(max_html_bytes: int | None = None):
+    """Factory for the href-extraction UDF with error tolerance.
+
+    Per-page failure policy (the bulk-scan analog of the reference's
+    consecutive-error breaker, ``traverser.py:175-181,206-221``): a page
+    that cannot be extracted — an oversize document beyond
+    ``max_html_bytes`` (the operational guard; Common-Crawl truncates at
+    1 MiB) or an extraction exception — yields a NULL link array instead
+    of failing the task. NULL explodes to zero edges, and the pipeline
+    counts malformed pages via ``df.observe`` (see
+    ``pages_to_raw_edges``): at 100 TB a handful of pathological pages
+    must surface as a metric, never kill a 1000-executor stage.
+
+    Missing html (NULL column) stays an EMPTY array — absent input is not
+    an extraction error."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _extract(html: pd.Series) -> pd.Series:
+        sizes = html.map(lambda b: len(b) if b is not None else 0)
+        decoded = html.str.decode(*_DECODE)
+        out = []
+        for s, n in zip(decoded, sizes):
+            if s is None:
+                out.append([])
+            elif max_html_bytes is not None and n > max_html_bytes:
+                out.append(None)
+            else:
+                try:
+                    out.append(_hrefs(s))
+                except Exception:
+                    out.append(None)
+        return pd.Series(out, index=html.index, dtype="object")
+
+    return _extract
+
+
+# default instance: no size guard — byte-identical to the oracle on every
+# decodable page (the byte-identity contract above)
+extract_links = make_extract_links()
 
 
 @F.pandas_udf(T.StringType())
@@ -85,7 +116,11 @@ def links_column(html: Column) -> Column:
     return extract_links(html)
 
 
-def pages_to_raw_edges(pages: DataFrame) -> DataFrame:
+def pages_to_raw_edges(
+    pages: DataFrame,
+    observation=None,
+    max_html_bytes: int | None = None,
+) -> DataFrame:
     """pages(url, html, ...) → raw edges (src, dst, pos).
 
     ``posexplode`` preserves extraction order as ``pos`` — the ordering key
@@ -94,8 +129,31 @@ def pages_to_raw_edges(pages: DataFrame) -> DataFrame:
     explicit operator in ``edges.build_edges``). Column pruning matters:
     only (url, html) are read; ``html`` never crosses a shuffle — the
     explode is map-side, and everything downstream carries strings only.
+
+    ``observation``: pass a ``pyspark.sql.Observation`` to surface
+    error-tolerance metrics with ZERO extra passes (``df.observe`` rides
+    the scan): ``malformed_pages`` (extraction returned NULL — oversize
+    per ``max_html_bytes`` or an extraction exception; such pages emit 0
+    edges) and ``pages_scanned``. This is the bulk-scan twin of the
+    reference's consecutive-error breaker: at 100 TB you read the
+    malformed count off the finished job instead of aborting mid-crawl.
     """
-    return pages.select(
+    udf = (
+        extract_links if max_html_bytes is None else make_extract_links(max_html_bytes)
+    )
+    linked = pages.select(
         F.col("url").alias("src"),
-        F.posexplode(extract_links(F.col("html"))).alias("pos", "dst"),
+        udf(F.col("html")).alias("_links"),
+        F.col("html").isNotNull().alias("_has_html"),
+    )
+    if observation is not None:
+        linked = linked.observe(
+            observation,
+            F.count(
+                F.when(F.col("_links").isNull() & F.col("_has_html"), 1)
+            ).alias("malformed_pages"),
+            F.count("*").alias("pages_scanned"),
+        )
+    return linked.select(
+        "src", F.posexplode("_links").alias("pos", "dst")
     ).select("src", "dst", "pos")

@@ -37,7 +37,18 @@ def read_exclude_list(
     (``paper.py:146-179``). Lines that are neither canonical nor
     url-shaped (a typo like ``dio::123``) still flow to ``malformed`` so
     the caller's warning channel stays live — keeping them verbatim would
-    silently produce never-matching exclude entries."""
+    silently produce never-matching exclude entries.
+
+    BREAKING CHANGE (round 3): earlier versions kept ANY bare line as a
+    url exclude entry; now a bare line must match ``scheme://…`` (or carry
+    an explicit ``url::`` prefix). Scheme-less entries like
+    ``example.com/page`` previously matched nothing downstream anyway in
+    a url-vertex graph (vertex ids carry schemes), but they now land in
+    ``malformed`` instead of ``parsed`` — operators with existing exclude
+    files should re-audit: every line reported malformed was previously a
+    silent no-op entry. To keep a scheme-less id space, prefix entries
+    with ``url::`` is NOT sufficient (the scheme check still applies);
+    extend ``parse_id_string``'s id types instead."""
     lines = (
         spark.read.text(path)
         .select(F.trim("value").alias("line"))

@@ -105,9 +105,12 @@ def render_html_graph(
     (``citation_graph.py:62-71``), the last step after the engine computed
     every node attribute distributed (``export_graph_attrs`` + ``viz.py``).
 
-    By-contract SMALL: the reference renders one root expansion (hundreds
-    of nodes), so collecting here is the same driver-side render it does —
-    never call this on an uncollected web-scale graph.
+    By-contract SMALL on the *attrs* side: the reference renders one root
+    expansion (hundreds of nodes), so collecting the node table is the
+    same driver-side render it does. The EDGE side is NOT assumed small —
+    callers may pass a full edge table — so edges are semi-joined against
+    the render's node set distributed, and only renderable edges (both
+    endpoints present) ever reach the driver.
 
     pyvis is optional (not in every runtime); without it this is a no-op
     returning False so pipelines degrade to the attribute export."""
@@ -126,9 +129,15 @@ def render_html_graph(
             color=r["color"],
             title=r["title_attr"],
         )
-    for r in edges.select("src", "dst").collect():
-        # pyvis add_edge requires both endpoints present
-        if r["src"] in node_ids and r["dst"] in node_ids:
-            net.add_edge(r["src"], r["dst"])
+    # prune distributed: a full edge table must never be collected — only
+    # edges with BOTH endpoints in the (small) rendered node set survive
+    ids = attrs.select("id")
+    renderable = (
+        edges.select("src", "dst")
+        .join(F.broadcast(ids).withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(F.broadcast(ids).withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
+    for r in renderable.collect():
+        net.add_edge(r["src"], r["dst"])
     net.save_graph(path)
     return True

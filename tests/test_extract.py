@@ -50,3 +50,34 @@ def test_udf_matches_oracle_byte_identical(spark):
     for i, (html, exp) in enumerate(ADVERSARIAL):
         assert got[i][0] == exp, html
         assert got[i][1] == extract_text_oracle(html), html
+
+
+def test_malformed_pages_observed_metric(spark):
+    """Error tolerance (reference analog: the consecutive-error breaker,
+    traverser.py:175-181,206-221): an un-extractable page emits NULL links
+    (0 edges) and is COUNTED via df.observe on the scan itself — no extra
+    pass, no failed task. Missing html is absent input, not an error."""
+    from pyspark.sql import Observation
+
+    from citation_graph_spark.extract import pages_to_raw_edges
+
+    rows = [
+        ("good", b'<a href="https://x/1">ok</a>'),
+        ("oversize", b"<a href=https://x/2>" + b"x" * 4096 + b"</a>"),
+        ("nohtml", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    obs = Observation("extract")
+    edges = pages_to_raw_edges(pages, observation=obs, max_html_bytes=1024)
+    got = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert got == [("good", "https://x/1")]  # malformed page -> zero edges
+    assert obs.get == {"malformed_pages": 1, "pages_scanned": 3}
+
+
+def test_extract_links_default_has_no_size_guard(spark):
+    """The default UDF keeps byte-identity with the oracle on every
+    decodable page — the size guard is opt-in."""
+    big = b"<a href=https://x/big>" + b"y" * 4096 + b"</a>"
+    df = spark.createDataFrame([("u", big)], "url string, html binary")
+    row = df.select(extract_links(F.col("html")).alias("links")).first()
+    assert row["links"] == extract_links_oracle(big) == ["https://x/big"]
