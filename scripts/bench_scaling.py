@@ -155,8 +155,19 @@ oracle suite.
 Edges/sec per executor: local mode is a single JVM "executor" with the
 given core count, so per-executor throughput equals the table values.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w", encoding="utf-8") as fh:
-        fh.write(md)
+    # rewrite only the scaling header; the measured-studies sections
+    # (salting, ANN recall grids, A/B attributions — everything from the
+    # first "## " heading on) accumulate across rounds and are preserved
+    bench_path = os.path.join(REPO, "BENCH.md")
+    studies = ""
+    if os.path.exists(bench_path):
+        with open(bench_path, encoding="utf-8") as fh:
+            old = fh.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            studies = old[idx:]
+    with open(bench_path, "w", encoding="utf-8") as fh:
+        fh.write(md + studies)
     return 0
 
 
