@@ -54,3 +54,40 @@ def parse_id_string(value: Column) -> Column:
 
 def normalize_external_id(name: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(name)), PUNCT_RE, "")
+
+
+# C13 — URL templating. The reference builds provider request URLs by
+# formatting a per-id-type identifier into a URL template
+# (restful_database.py:80-111; formats semantic_scholar.py:62-66). There
+# is no RPC in this engine (the corpus is a bulk scan), but the same
+# templating is useful as a column expression — e.g. emitting provenance /
+# lineage URLs into an export, or constructing join keys against an
+# external snapshot keyed by API URL.
+ID_URL_FORMATS = {"doi": "{id}", "arxiv": "arXiv:{id}", "corpusid": "CorpusID:{id}"}
+
+
+def url_path_id(id_type: Column, raw_id: Column) -> Column:
+    """Per-id-type URL identifier (``get_paper_id_for_url``,
+    ``restful_database.py:80-101``): the raw id wrapped in its provider
+    prefix. Unsupported id types yield NULL — the engine's standard
+    malformed-row channel (the reference raises ``KeyError``; a bulk scan
+    must count, not crash)."""
+    expr = None
+    for t, fmt in ID_URL_FORMATS.items():
+        pre, _, post = fmt.partition("{id}")
+        formatted = F.concat(F.lit(pre), raw_id, F.lit(post))
+        expr = F.when(id_type == t, formatted) if expr is None else expr.when(
+            id_type == t, formatted
+        )
+    return expr
+
+
+def api_url(template: str, id_type: Column, raw_id: Column) -> Column:
+    """``template.format(id=...)`` as a column expression
+    (``get_paper_url`` / ``get_citing_papers_url``,
+    ``restful_database.py:103-111``). NULL propagates from unsupported id
+    types."""
+    pre, sep, post = template.partition("{id}")
+    if not sep:
+        raise ValueError("template must contain '{id}'")
+    return F.concat(F.lit(pre), url_path_id(id_type, raw_id), F.lit(post))

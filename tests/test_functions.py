@@ -226,3 +226,35 @@ def test_create_html_table_pads_rows():
         "<tr><td>c</td><td></td></tr></table>"
     )
     assert create_html_table([]) == "<table></table>"
+
+
+def test_url_templating_c13(spark):
+    """C13 twin: per-id-type URL identifier + template formatting
+    (restful_database.py:80-111, semantic_scholar.py:62-66); unsupported
+    id types -> NULL, never an error."""
+    from citation_graph_spark.functions.ids import api_url, url_path_id
+
+    rows = [
+        ("doi", "10.1/x"),
+        ("arxiv", "2101.00001"),
+        ("corpusid", "123"),
+        ("dblp", "conf/x/y"),  # no URL format -> NULL (reference: KeyError)
+    ]
+    df = spark.createDataFrame(rows, "id_type string, raw_id string")
+    tpl = "https://api.semanticscholar.org/graph/v1/paper/{id}/citations"
+    got = df.select(
+        url_path_id(F.col("id_type"), F.col("raw_id")).alias("pid"),
+        api_url(tpl, F.col("id_type"), F.col("raw_id")).alias("url"),
+    ).collect()
+    assert [r["pid"] for r in got] == [
+        "10.1/x", "arXiv:2101.00001", "CorpusID:123", None,
+    ]
+    assert got[1]["url"] == (
+        "https://api.semanticscholar.org/graph/v1/paper/arXiv:2101.00001/citations"
+    )
+    assert got[3]["url"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api_url("https://no-placeholder", F.col("id_type"), F.col("raw_id"))
