@@ -79,10 +79,16 @@ def main() -> int:
     n_pages = max(2000, int(sf * 200_000))
 
     def bench_extract():
+        from pyspark.sql import Observation
+
+        obs = Observation("extract")
         pages = datagen.generate_pages(spark, n_pages, seed=42)
-        edges = build_edges(pages)
+        # observe rides the ingest scan (zero extra passes): the 100 TB
+        # error-tolerance channel — malformed pages surface as a metric
+        edges = build_edges(pages, observation=obs, max_html_bytes=1 << 20)
         extras["extract_edges"] = edges.count()
         extras["extract_pages"] = n_pages
+        extras["extract_malformed_pages"] = obs.get["malformed_pages"]
 
     run("extract", bench_extract)
 

@@ -137,15 +137,26 @@ def build_edges(
     max_per_src: int | None = None,
     encode: str = "hash",
     num_partitions: int | None = None,
+    observation=None,
+    max_html_bytes: int | None = None,
 ) -> DataFrame:
     """pages → deduped, capped, encoded, src-partitioned edge DataFrame.
 
     The returned frame is hash-partitioned on ``src`` so downstream
     superstep joins co-locate without re-shuffling the big side.
+
+    ``observation`` / ``max_html_bytes`` thread through to
+    ``pages_to_raw_edges``: pass a ``pyspark.sql.Observation`` to read
+    ``malformed_pages`` / ``pages_scanned`` off the ingest scan (no extra
+    pass) — the 100 TB error-tolerance channel.
     """
     from citation_graph_spark.extract import pages_to_raw_edges
 
-    edges = dedup_edges(pages_to_raw_edges(pages))
+    edges = dedup_edges(
+        pages_to_raw_edges(
+            pages, observation=observation, max_html_bytes=max_html_bytes
+        )
+    )
     if max_per_src is not None:
         edges = cap_out_degree(edges, max_per_src)
     if encode == "hash":
