@@ -376,3 +376,61 @@ def test_blocked_ops_release_cached_blocks(spark):
         # <= : the gc pass may also have collected frames from EARLIER
         # tests sharing this session, dropping the count below baseline
         assert n_cached() - before <= 0, f"op {i} leaked cached intermediates"
+
+
+def test_sidecar_store_parity(spark, tmp_path):
+    """The sidecar parquet stores (signatures / token hashes / buckets /
+    cells) are a pure materialization seam: every operator's output with
+    the store enabled is IDENTICAL to the in-memory path. This is the
+    contract the DuckDB oracles rely on — the store must be exactly what
+    the downstream join consumed."""
+    from citation_graph_spark.pipeline.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        embedding_cosine_pairs_lsh,
+    )
+
+    docs = _docs(spark)
+    emb, _ = _emb(spark)
+    qs = emb.limit(3)
+    side = str(tmp_path / "store")
+
+    cases = [
+        (
+            lambda **kw: minhash_lsh_pairs(docs, n=3, threshold=0.2, **kw),
+            {"signatures_out": f"{side}/sig"},
+        ),
+        (
+            lambda **kw: simhash64(docs, **kw),
+            {"token_hashes_out": f"{side}/tok"},
+        ),
+        (
+            lambda **kw: embedding_cosine_pairs_lsh(
+                emb, threshold=0.9, dim=16, **kw
+            ),
+            {"buckets_out": f"{side}/eb"},
+        ),
+        (
+            lambda **kw: ann_lsh_topk(qs, emb, k=3, dim=16, **kw),
+            {"buckets_out": f"{side}/lb"},
+        ),
+        (
+            lambda **kw: ann_ivf_topk(
+                qs, emb, k=3, dim=16, n_centroids=4, n_probe=2, n_assign=2, **kw
+            ),
+            {"cells_out": f"{side}/cells"},
+        ),
+    ]
+    for fn, kw in cases:
+        plain = sorted(map(tuple, fn().collect()))
+        stored = sorted(map(tuple, fn(**kw).collect()))
+        assert stored == plain, kw
+        import os as _os
+
+        path = next(iter(kw.values()))
+        root = path if _os.path.isdir(path) else _os.path.dirname(path)
+        assert any(
+            f.endswith(".parquet")
+            for _, _, files in _os.walk(root)
+            for f in files
+        ), f"no parquet written under {root}"
