@@ -340,7 +340,12 @@ def ann_ivf_topk(
         F.col(vec_col).alias("v"),
         nearest_cells(F.col(vec_col)).alias("cells"),
     )
+    release = ()
     if cells_out is not None:
+        # hash once: the store writes and the probe join share one UDF pass
+        corpus_cells = corpus_cells.persist()
+        query_cells = query_cells.persist()
+        release = (corpus_cells, query_cells)
         corpus_cells.select("id", "cells").write.mode("overwrite").parquet(
             cells_out + "/corpus"
         )
@@ -377,10 +382,11 @@ def ann_ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    return release_on_gc(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank"),
+        *release,
     )
 
 
@@ -443,7 +449,11 @@ def ann_lsh_topk(
 
     cq = bucketize(queries, "query_id")
     cc = bucketize(corpus, "neighbor_id")
+    release = ()
     if buckets_out is not None:
+        # hash once: the store write and the probe join share one UDF pass
+        cc = cc.persist()
+        release = (cc,)
         cc.select(
             F.col("neighbor_id").alias("id"), "tbl", "bucket"
         ).write.mode("overwrite").parquet(buckets_out)
@@ -467,8 +477,9 @@ def ann_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    return release_on_gc(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank"),
+        *release,
     )
