@@ -57,12 +57,20 @@ def pagerank(
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
     durable_every: int = 5,
-    salt_factor: int = 0,
+    salt_factor: int | str = 0,
     resume: bool = True,
     num_partitions: int | None = None,
     prepared: PreparedGraph | None = None,
 ) -> PageRankResult:
     """Run PageRank on an ``(src, dst, ...)`` edge DataFrame.
+
+    ``salt_factor``: 0/1 = unsalted; N>1 = split each src's edges over N
+    salted join partitions (hub skew the cached edge side has, which AQE
+    cannot split — measured 1.57× on a 15%-hub graph, BENCH.md);
+    ``"auto"`` = probe the measured skew once at build time and pick the
+    factor (``PreparedGraph.suggest_salt_factor``) — deterministic per
+    graph, so resume re-resolves identically and the checkpoint records
+    the resolved integer.
 
     ``prepared``: pass a :class:`PreparedGraph` to reuse the weighted
     sorted edge cache (and vertex/dangling tables) across repeated
@@ -76,6 +84,8 @@ def pagerank(
         prepared = PreparedGraph(edges, num_partitions)
     else:
         edges = prepared.edges
+    if salt_factor == "auto":
+        salt_factor = prepared.suggest_salt_factor()
     spark = edges.sparkSession
 
     ckpt = None

@@ -59,6 +59,37 @@ class PreparedGraph:
         return cls(spark.table(table), num_partitions, pre_partitioned=True)
 
     # --- pagerank statics ---------------------------------------------------
+    def suggest_salt_factor(
+        self, threshold: float = 0.02, max_factor: int = 32
+    ) -> int:
+        """Measured skew → salt factor (the ``salt_factor="auto"`` probe).
+
+        One aggregation over the per-src degree table gives the hottest
+        src's edge share s = max(outdeg)/|E|. A share s means one src's
+        edges fill ≈ s·num_partitions partitions' worth of join work on a
+        single partition — AQE cannot split it because the edge side is a
+        persisted cache, not shuffle blocks (the measured salting study,
+        BENCH.md). Below ``threshold`` the skew is noise and salting only
+        costs rank-side replication → factor 1 (unsalted). Above it, the
+        factor is the next power of two ≥ s·num_partitions, capped at
+        ``max_factor``. Deterministic for a given graph, so checkpoint
+        resume under ``"auto"`` re-resolves to the same factor."""
+        row = (
+            out_degrees(self.edges)
+            .agg(F.max("out_degree").alias("mx"), F.sum("out_degree").alias("tot"))
+            .first()
+        )
+        if not row or not row["tot"]:
+            return 1
+        share = row["mx"] / row["tot"]
+        if share < threshold:
+            return 1
+        want = share * self.num_partitions
+        factor = 1
+        while factor < want and factor < max_factor:
+            factor *= 2
+        return factor
+
     def weighted_edges(self, salt_factor: int = 0) -> DataFrame:
         """(src, dst, w[, salt]) with w = 1/outdeg(src), hash-partitioned on
         src and sorted within partitions — the CSR-style cache every

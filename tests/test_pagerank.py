@@ -136,3 +136,31 @@ def test_resume_exhausted_maxiter_keeps_recorded_delta(spark, tmp_path):
     for v in ranks_first:
         assert math.isclose(ranks_first[v], ranks_again[v], abs_tol=1e-15), v
     edges.unpersist()
+
+
+def test_auto_salt_factor(spark):
+    """salt_factor="auto": the skew probe picks a factor >1 only when one
+    src's edge share justifies splitting (measured-skew policy,
+    PreparedGraph.suggest_salt_factor), and auto ranks equal unsalted."""
+    from citation_graph_spark.operators.prepared import PreparedGraph
+    from pyspark.sql import functions as F
+
+    # hub graph: src 0 owns ~30% of edges
+    base = datagen.zipf_edges(spark, n_vertices=100, n_edges=700, seed=5)
+    hub = spark.range(0, 300).select(
+        F.lit(0).alias("src"), (F.col("id") % 90 + 1).alias("dst")
+    )
+    edges = base.select("src", "dst").unionByName(hub).cache()
+    pg = PreparedGraph(edges)
+    factor = pg.suggest_salt_factor()
+    assert factor > 1  # ~30% share at 32 partitions -> split demanded
+    auto = _spark_ranks(pagerank(prepared=pg, tol=1e-8, salt_factor="auto"))
+    plain = _spark_ranks(pagerank(prepared=pg, tol=1e-8))
+    pg.unpersist()
+    assert set(auto) == set(plain)
+    for v in plain:
+        assert math.isclose(plain[v], auto[v], abs_tol=1e-9), v
+
+    # balanced graph: every src share tiny -> auto stays unsalted
+    balanced = datagen.cycle_edges(spark, 200)
+    assert PreparedGraph(balanced).suggest_salt_factor() == 1
