@@ -311,6 +311,10 @@ def main() -> int:
         extras["salt_hub_edges"] = edges.where(F.col("src") == 0).count()
         extras["salt_total_edges"] = edges.count()
         pg = PreparedGraph(edges)
+        # what salt_factor="auto" would pick for this skew (the measured
+        # probe, PreparedGraph.suggest_salt_factor) — disclosed so the
+        # fixed factor-8 arm below is auditable against the policy
+        extras["salt_auto_factor"] = pg.suggest_salt_factor()
         try:
             for label, factor in (("salt_unsalted_seconds", 0), ("salt_salted_seconds", 8)):
                 pg.weighted_edges(factor)  # static build outside the timed wall
