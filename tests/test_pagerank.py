@@ -164,3 +164,26 @@ def test_auto_salt_factor(spark):
     # balanced graph: every src share tiny -> auto stays unsalted
     balanced = datagen.cycle_edges(spark, 200)
     assert PreparedGraph(balanced).suggest_salt_factor() == 1
+
+
+def test_auto_salt_resume_compatible(spark, tmp_path):
+    """auto + checkpointing: the manifest records the RESOLVED factor, and
+    a resumed "auto" run re-resolves to the same integer (deterministic
+    probe), so resume is accepted and exact."""
+    from pyspark.sql import functions as F
+
+    base = datagen.zipf_edges(spark, n_vertices=80, n_edges=500, seed=13)
+    hub = spark.range(0, 200).select(
+        F.lit(0).alias("src"), (F.col("id") % 70 + 1).alias("dst")
+    )
+    edges = base.select("src", "dst").unionByName(hub).cache()
+    ck = str(tmp_path / "ck_auto")
+    first = pagerank(
+        edges, tol=1e-7, salt_factor="auto", checkpoint_dir=ck, durable_every=2
+    )
+    assert first.converged
+    resumed = pagerank(
+        edges, tol=1e-7, salt_factor="auto", checkpoint_dir=ck, durable_every=2
+    )
+    assert resumed.history == []  # converged checkpoint -> instant resume
+    assert _spark_ranks(resumed) == _spark_ranks(first)
