@@ -190,8 +190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return years.withColumn("year_rank", F.dense_rank().over(w))
 
     def q_levenshtein(spark, sf):
-        # C2 scalar parity: levenshtein between name fragments
-        p = _t(spark, sf, "part").limit(200)
+        # C2 scalar parity: levenshtein between name fragments.
+        # orderBy before limit: an unordered limit is nondeterministic on a
+        # multi-file part table (file-scan order depends on layout), even
+        # though a single-file sf0.01 scan happens to be stable (VERDICT r04).
+        p = _t(spark, sf, "part").orderBy("p_partkey").limit(200)
         return p.select(
             "p_partkey",
             F.levenshtein(

@@ -36,7 +36,25 @@ def release_on_gc(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     result), runs at GC or interpreter shutdown, and swallows errors from
     an already-stopped SparkContext.  Callers that want the blocks gone
     *now* can simply ``del`` the result (CPython refcounting collects it
-    immediately once their own references are dropped).
+    immediately once their own references are dropped) or call the
+    explicit handle ``result.release_intermediates()``.
+
+    DERIVED-FRAME PITFALL (documented in every operator that uses this):
+    the finalizer is tied to the *returned object*, not to its plan. A
+    caller that derives a new frame and drops the original —
+
+        pairs = minhash_lsh_pairs(docs)
+        top = pairs.where(...)   # derived frame, new Python object
+        del pairs                # finalizer fires NOW
+
+    — unpersists the hash-once intermediates before ``top`` ever runs,
+    silently reintroducing the measured ~4× recompute (the derived plan
+    still references the now-cold cached subtrees).  Keep a reference to
+    the returned frame for as long as ANY derivation of it is in use, or
+    call ``.release_intermediates()`` yourself once done.  Immediate
+    collection on ``del`` is a CPython refcounting behavior; on other
+    interpreters release happens at an eventual GC (never early — only
+    possibly late, which is safe).
     """
 
     def _release(dfs: tuple[DataFrame, ...] = intermediates) -> None:
@@ -46,5 +64,8 @@ def release_on_gc(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
             except Exception:  # session stopped / JVM gone — nothing to free
                 pass
 
-    weakref.finalize(result, _release)
+    finalizer = weakref.finalize(result, _release)
+    # explicit handle: deterministic release on any interpreter, idempotent
+    # with the GC path (weakref.finalize runs at most once)
+    result.release_intermediates = finalizer
     return result

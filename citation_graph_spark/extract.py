@@ -82,13 +82,19 @@ def make_extract_links(max_html_bytes: int | None = None):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _extract(html: pd.Series) -> pd.Series:
         sizes = html.map(lambda b: len(b) if b is not None else 0)
-        decoded = html.str.decode(*_DECODE)
+        # mask oversize pages BEFORE decoding: the size guard must bound
+        # per-page decode cost and executor memory, not just null the
+        # output after a full decode of a pathological page (ADVICE r04)
+        oversize = (
+            sizes > max_html_bytes if max_html_bytes is not None else sizes < 0
+        )
+        decoded = html.where(~oversize).str.decode(*_DECODE)
         out = []
-        for s, n in zip(decoded, sizes):
-            if s is None:
-                out.append([])
-            elif max_html_bytes is not None and n > max_html_bytes:
+        for s, big in zip(decoded, oversize):
+            if big:
                 out.append(None)
+            elif s is None:
+                out.append([])
             else:
                 try:
                     out.append(_hrefs(s))

@@ -242,6 +242,7 @@ def _two_star(
 
     # initial pointers: undirected neighbour pairs, both directions —
     # reuse the PreparedGraph's persisted symmetrized view when available
+    fresh_start = state is None
     if state is None:
         sym0 = prepared.symmetrized() if prepared is not None else symmetrize(edges)
         pairs = sym0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -290,18 +291,26 @@ def _two_star(
         return (row["n"], row["h"])
 
     if prev_sum is None:
+        # fresh run, or a compatible resume whose manifest predates the
+        # checksum metric: recompute the fixpoint baseline from the state.
         prev_sum = checksum(state)
-        # iteration-0 manifest carries the initial checksum so a run killed
-        # before its first durable round still resumes with a fixpoint test
-        state = ctx.record(
-            state,
-            0,
-            {
-                "pointers": prev_sum[0],
-                "checksum": str(prev_sum[1]),
-                "converged": False,
-            },
-        )
+        if fresh_start:
+            # iteration-0 manifest carries the initial checksum so a run
+            # killed before its first durable round still resumes with a
+            # fixpoint test. Recorded ONLY on a genuine fresh start: on a
+            # checksum-less resume this would durably relabel iteration-k
+            # state as iteration 0 and CheckpointManager.save would then
+            # prune every iteration > 0 — deleting the checkpoint just
+            # loaded (ADVICE r04; _hash_min guards with `state is None`).
+            state = ctx.record(
+                state,
+                0,
+                {
+                    "pointers": prev_sum[0],
+                    "checksum": str(prev_sum[1]),
+                    "converged": False,
+                },
+            )
     last_sum = prev_sum
     it = start_iter - 1
     converged = False

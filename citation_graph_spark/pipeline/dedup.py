@@ -148,7 +148,11 @@ def ngram_jaccard_pairs(
     Lazy: the caller owns persistence of the result (an eager checkpoint
     here would block filter/limit pushdown and pin non-replicated blocks —
     see caching.py). The persisted shingle/candidate intermediates are
-    released when the returned DataFrame is garbage-collected."""
+    released when the RETURNED DataFrame is garbage-collected — keep a
+    reference to it while any derived frame (``result.where(...)``) is
+    still in use, or the caches go cold under the derivation; an explicit
+    ``result.release_intermediates()`` handle is attached (see
+    ``caching.release_on_gc`` for the full pitfall)."""
     sh = shingles(docs, n, text_col).persist()
     if max_df is None:
         a = sh.alias("a")
@@ -327,7 +331,10 @@ def minhash_lsh_pairs(
     are exactly what downstream banding joined on, so an external checker
     can reproduce banding/bucket-join/verify from the store alone.
 
-    Lazy result; intermediates released on result GC (see caching.py)."""
+    Lazy result; intermediates released on result GC — hold the returned
+    frame while any derivation of it is in use, or call the attached
+    ``result.release_intermediates()`` handle when done (derived-frame
+    pitfall: see ``caching.release_on_gc``)."""
     # persist: the verify step references candidates 3× (two id-prunes +
     # the intersection join) and shingles 3× — without a shared
     # materialization each reference would recompute signatures + the
@@ -393,7 +400,12 @@ def simhash_pairs(
 
     Blocking: split the 64-bit hash into 4 16-bit chunks; by pigeonhole any
     pair within Hamming ≤ 3 shares at least one exact chunk → equi-join per
-    chunk, then exact Hamming verify via bit_count(xor)."""
+    chunk, then exact Hamming verify via bit_count(xor).
+
+    Lazy result; intermediates released on result GC — hold the returned
+    frame while any derivation of it is in use, or call the attached
+    ``result.release_intermediates()`` handle when done (derived-frame
+    pitfall: see ``caching.release_on_gc``)."""
     # persist: the self-join below references the chunk table twice — the
     # 64-bit-sum aggregation must run once (hash-once contract)
     sim = simhash64(docs, text_col)

@@ -40,8 +40,10 @@ def read_exclude_list(
     silently produce never-matching exclude entries.
 
     BREAKING CHANGE (round 3): earlier versions kept ANY bare line as a
-    url exclude entry; now a bare line must match ``scheme://…`` (or carry
-    an explicit ``url::`` prefix). Scheme-less entries like
+    url exclude entry; now a line must match ``scheme://…`` — with an
+    optional ``url::`` prefix in front of the scheme (``url::`` does NOT
+    waive the scheme requirement: ``url::example.com/page`` is
+    malformed). Scheme-less entries like
     ``example.com/page`` previously matched nothing downstream anyway in
     a url-vertex graph (vertex ids carry schemes), but they now land in
     ``malformed`` instead of ``parsed`` — operators with existing exclude

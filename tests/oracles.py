@@ -45,6 +45,40 @@ def pagerank_oracle(edges, alpha=0.85, tol=1e-6, max_iter=100):
     return ranks, it
 
 
+def pagerank_dense_oracle(edges, alpha=0.85, tol=1e-10, max_iter=200):
+    """SECOND independent PageRank implementation: dense numpy matrix power
+    iteration (r' = base + a·(Pᵀr + dm/n) with P the row-normalized
+    adjacency). Shares no code with ``pagerank_oracle``'s per-edge dict
+    loop — the cross-check substitute for networkx (not installed in this
+    sandbox), so the cross-implementation parity test never skips.
+    Returns (ranks dict, iterations)."""
+    import numpy as np
+
+    verts = sorted(_vertices(edges))
+    n = len(verts)
+    if n == 0:
+        return {}, 0
+    idx = {v: i for i, v in enumerate(verts)}
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    P = np.zeros((n, n))
+    for s, d in edges:
+        P[idx[d], idx[s]] += 1.0 / outdeg[idx[s]]
+    dangling = outdeg == 0
+    r = np.full(n, 1.0 / n)
+    it = 0
+    for it in range(1, max_iter + 1):
+        dm = r[dangling].sum()
+        base = (1.0 - alpha) / n + alpha * dm / n
+        new_r = base + alpha * (P @ r)
+        delta = np.abs(new_r - r).sum()
+        r = new_r
+        if delta < tol:
+            break
+    return {v: float(r[idx[v]]) for v in verts}, it
+
+
 def connected_components_oracle(edges):
     """Undirected CC; label = min vertex id in component."""
     adj = defaultdict(set)

@@ -154,6 +154,45 @@ def test_two_star_kill_resume_exact(spark, tmp_path):
     assert resumed.history and resumed.history[0]["iteration"] == 3
 
 
+def test_two_star_resume_without_checksum_metric(spark, tmp_path):
+    """Resume from a manifest that predates the checksum metric (ADVICE
+    r04): the run must recompute the fixpoint baseline from the loaded
+    state WITHOUT durably recording it as iteration 0 — that record would
+    prune every iteration > 0, deleting the very checkpoint being resumed
+    and mislabeling the timeline."""
+    import json
+
+    edges = datagen.zipf_edges(spark, 250, 400, seed=31).cache()
+    ck = str(tmp_path / "ck_ts_nochk")
+    full = connected_components(
+        edges, algorithm="two_star", checkpoint_dir=ck, durable_every=1
+    )
+    baseline = {r["id"]: r["label"] for r in full.labels.collect()}
+
+    # kill after round 2, then strip the checksum/pointer metrics from the
+    # surviving manifest (an old-format checkpoint)
+    for name in os.listdir(ck):
+        if name.startswith("iter=") and int(name.split("=")[1]) > 2:
+            shutil.rmtree(os.path.join(ck, name))
+    mpath = os.path.join(ck, "iter=2", "_manifest.json")
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    manifest["metrics"].pop("checksum", None)
+    manifest["metrics"].pop("pointers", None)
+    with open(mpath, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+
+    resumed = connected_components(
+        edges, algorithm="two_star", checkpoint_dir=ck, durable_every=1
+    )
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == baseline
+    # re-entered at round 3 — never re-recorded the loaded state as iter 0
+    assert resumed.history and resumed.history[0]["iteration"] == 3
+    mgr = CheckpointManager(spark, ck)
+    assert 2 in mgr.iterations()  # the loaded checkpoint survived the resume
+
+
 def test_two_star_resume_converged_is_instant(spark, tmp_path):
     edges = datagen.cycle_edges(spark, 40)
     ck = str(tmp_path / "ck_ts2")

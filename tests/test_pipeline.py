@@ -378,6 +378,35 @@ def test_blocked_ops_release_cached_blocks(spark):
         assert n_cached() - before <= 0, f"op {i} leaked cached intermediates"
 
 
+def test_explicit_release_handle(spark):
+    """``result.release_intermediates()`` — the deterministic release path
+    for callers that chain transformations off the result (the
+    derived-frame pitfall, caching.release_on_gc): releases now on any
+    interpreter, idempotent, and safe with the GC finalizer afterwards."""
+    import gc
+    import time
+
+    sc = spark.sparkContext
+    docs = _docs(spark)
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    res = minhash_lsh_pairs(docs, n=3, threshold=0.2)
+    derived = res.where("jaccard >= 0.5")  # caller-side derivation
+    derived.count()
+    assert n_cached() > before  # hash-once intermediates are cached
+    res.release_intermediates()
+    deadline = time.time() + 10
+    while n_cached() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert n_cached() - before <= 0
+    res.release_intermediates()  # idempotent (finalizer runs at most once)
+    del res
+    gc.collect()  # GC path after explicit release: no error, no double-free
+
+
 def test_sidecar_store_parity(spark, tmp_path):
     """The sidecar parquet stores (signatures / token hashes / buckets /
     cells) are a pure materialization seam: every operator's output with
