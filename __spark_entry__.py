@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash64,
+        simhash_pairs,
         shingles,
     )
     from citation_graph_spark.pipeline.similarity import (
@@ -458,6 +459,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), token_hashes_out=f"{_SIDECAR}/simhash_tok"
         )
 
+    def q_minhash_lsh_capped(spark, sf):
+        # max_bucket cap (the band-bucket analog of ngram max_df): band
+        # buckets holding > 2 docs generate NO candidates — cap chosen to
+        # bite at sf0.01 (25 → 22 verified pairs), so this cell proves the
+        # cap semantics, not just the uncapped path. Oracle reproduces
+        # banding + HAVING-count cap + bucket-join + exact-Jaccard verify
+        # from the signature store.
+        return minhash_lsh_pairs(
+            _t(spark, sf, "documents"),
+            n=3,
+            threshold=0.2,
+            signatures_out=f"{_SIDECAR}/minhash_sig_capped",
+            max_bucket=2,
+        )
+
+    def q_simhash_pairs_capped(spark, sf):
+        # chunk-bucket-capped SimHash near-dup pairs (cap 5 bites at
+        # sf0.01: 17 → 16 pairs). The oracle reassembles the signed
+        # 64-bit signatures from the token-hash store, re-chunks, applies
+        # the occupancy cap, and verifies exact Hamming — everything
+        # downstream of xxhash64 in plain SQL.
+        return simhash_pairs(
+            _t(spark, sf, "documents"),
+            max_hamming=3,
+            max_bucket=5,
+            token_hashes_out=f"{_SIDECAR}/simhash_tok_capped",
+        )
+
     def q_ann_lsh(spark, sf):
         # graded at the measured recall knee (tables=16, planes=4 →
         # recall@10 ≈ 0.92 on the bench grid; the old 4×8 default measures
@@ -544,7 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "triangles": q_triangles,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash": q_simhash,
+        "simhash_pairs_capped": q_simhash_pairs_capped,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embed_cosine_lsh": q_embed_cosine_lsh,
@@ -806,13 +837,14 @@ def _pagerank_adaptive_sql(
     return "".join(parts)
 
 
-def _simhash_sql() -> str:
+def _simhash_cte(store: str) -> str:
     """SimHash rebuilt from the materialized per-token-instance hash store:
     per-doc bit-majority sums over the 64 bits of each token hash, then the
     signed 64-bit signature reassembled (bit 63 is the sign bit — its term
     is −2⁶³, exactly Spark's ``shiftleft(1L, 63)`` wrap). ``>>`` is an
     arithmetic shift in both engines and ``&1`` extracts the same bit
-    either way."""
+    either way. Returns a WITH prefix ending in a ``sim(doc_id, simhash)``
+    CTE, so both the signature cell and the capped-pairs cell share it."""
     sums = ",\n                 ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
         for i in range(64)
@@ -823,16 +855,55 @@ def _simhash_sql() -> str:
     )
     sign = "CASE WHEN s63 > 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE 0 END"
     return f"""
-        WITH th AS (SELECT * FROM read_parquet('{_SIDECAR}/simhash_tok/*.parquet')),
+        WITH th AS (SELECT * FROM read_parquet('{_SIDECAR}/{store}/*.parquet')),
         s AS (
           SELECT doc_id,
                  {sums}
           FROM th GROUP BY doc_id
+        ),
+        sim AS (
+          SELECT doc_id,
+                 CAST({sign}
+                 + {terms} AS BIGINT) AS simhash
+          FROM s
+        )"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_cte("simhash_tok") + "\n        SELECT doc_id, simhash FROM sim"
+
+
+def _simhash_pairs_capped_sql(max_bucket: int, max_hamming: int) -> str:
+    """Chunk-blocked SimHash pairs with the occupancy cap: re-chunk the
+    reassembled signatures into 4 × 16-bit pigeonhole blocks, drop chunk
+    buckets holding > max_bucket docs (HAVING count ≤ cap — the SQL
+    statement of ``_cap_buckets``), bucket-join, verify exact Hamming via
+    ``bit_count(xor(...))``. Arithmetic ``>>`` + ``& 65535`` extract the
+    same 16-bit chunks as Spark's ``shiftright/bitwiseAND``."""
+    return (
+        _simhash_cte("simhash_tok_capped")
+        + f""",
+        chunks AS (
+          SELECT doc_id, simhash, g.c AS chunk_no,
+                 (simhash >> CAST(16 * g.c AS INTEGER)) & 65535 AS chunk
+          FROM sim, UNNEST(range(0, 4)) AS g(c)
+        ),
+        ok AS (
+          SELECT chunk_no, chunk FROM chunks
+          GROUP BY chunk_no, chunk HAVING count(*) <= {max_bucket}
+        ),
+        cap AS (SELECT c.* FROM chunks c JOIN ok USING (chunk_no, chunk)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM cap a JOIN cap b
+            ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id
         )
-        SELECT doc_id,
-               CAST({sign}
-               + {terms} AS BIGINT) AS simhash
-        FROM s"""
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+    )
 
 
 # shared vector CTE body for the ANN/embedding oracles (same formulation
@@ -1187,7 +1258,40 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2""",
+        "minhash_lsh_capped": shingle_cte
+        + f"""
+        , sig AS (SELECT * FROM read_parquet('{_SIDECAR}/minhash_sig_capped/*.parquet')),
+        banded AS (
+          SELECT doc_id, g.b AS band,
+                 array_to_string(sig[(g.b*4+1):(g.b*4+4)], ',') AS key
+          FROM sig, UNNEST(range(0, 16)) AS g(b)
+        ),
+        okb AS (
+          SELECT band, key FROM banded
+          GROUP BY band, key HAVING count(*) <= 2
+        ),
+        bc AS (SELECT banded.* FROM banded JOIN okb USING (band, key)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bc a JOIN bc b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2""",
         "simhash": _simhash_sql(),
+        "simhash_pairs_capped": _simhash_pairs_capped_sql(max_bucket=5, max_hamming=3),
         "ann_lsh": f"""
         WITH b AS (SELECT * FROM read_parquet('{_SIDECAR}/ann_lsh_buckets/*.parquet')),
         {_VEC_CTE_BODY},

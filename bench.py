@@ -211,6 +211,7 @@ def main() -> int:
     # all-shared-shingle pair count the uncapped exact method touches.
     if only is None or "minhash_lsh" in only:
         from citation_graph_spark.pipeline.dedup import (
+            minhash_band_bucket_sizes,
             minhash_lsh_candidates,
             ngram_jaccard_pairs,
         )
@@ -219,6 +220,23 @@ def main() -> int:
         extras["minhash_verify_candidates"] = minhash_lsh_candidates(docs, n=3).count()
         extras["shared_shingle_pairs"] = ngram_jaccard_pairs(
             docs, n=3, threshold=0.0
+        ).count()
+        # bucket-occupancy cap disclosure (max_bucket — the band-bucket
+        # max_df): how many buckets a production cap of 100 would drop on
+        # this corpus, and the candidate volume under it. On the synthetic
+        # corpus the cap normally drops nothing — the planted-mega-bucket
+        # pytest proves the blow-up it prevents.
+        cap = 100
+        sizes = minhash_band_bucket_sizes(docs, n=3)
+        extras["minhash_bucket_cap"] = cap
+        extras["minhash_oversized_buckets"] = sizes.where(
+            F.col("n_docs") > cap
+        ).count()
+        extras["minhash_max_bucket_occupancy"] = sizes.agg(
+            F.max("n_docs")
+        ).first()[0]
+        extras["minhash_capped_candidates"] = minhash_lsh_candidates(
+            docs, n=3, max_bucket=cap
         ).count()
 
     # --- similarity ----------------------------------------------------------

@@ -255,14 +255,12 @@ def minhash_signatures(
     return _signatures_from_shingles(shingles(docs, n, text_col), num_hashes)
 
 
-def _lsh_candidates_from_signatures(
-    sig: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    """Banding + bucket equi-join: (doc_a, doc_b) pairs agreeing on ≥1 band."""
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) — one LSH bucket assignment per band."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -274,6 +272,44 @@ def _lsh_candidates_from_signatures(
                 ]
             )
         ).alias("band", "bucket"),
+    )
+
+
+def _cap_buckets(
+    assignments: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop bucket-assignment rows whose bucket holds > ``max_bucket``
+    members — the band/chunk analog of ``max_df`` (VERDICT r04 #3).
+
+    A degenerate bucket (10⁶ boilerplate near-identical docs landing in
+    one band bucket — the realistic 100 TB skew case: template pages)
+    makes the candidate self-join quadratic IN THAT BUCKET. The cap bounds
+    per-bucket join work at max_bucket², making total candidate volume
+    linear in corpus size for any fixed cap. Recall loss is confined to
+    pairs whose EVERY matching bucket is oversized — for MinHash that
+    means every agreeing band is shared by > max_bucket docs, i.e. the
+    pair is boilerplate, exactly what exact dedup / template removal
+    should have consumed first. Dropped volume is observable via
+    ``minhash_band_bucket_sizes`` / ``simhash_chunk_bucket_sizes`` and is
+    disclosed in the bench cost report."""
+    if max_bucket is None:
+        return assignments
+    ok = (
+        assignments.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select(*keys)
+    )
+    return assignments.join(ok, keys, "left_semi")
+
+
+def _lsh_candidates_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, max_bucket: int | None = None
+) -> DataFrame:
+    """Banding + bucket equi-join: (doc_a, doc_b) pairs agreeing on ≥1 band
+    (of size ≤ ``max_bucket`` when capped — see ``_cap_buckets``)."""
+    banded = _cap_buckets(
+        _banded(sig, num_hashes, bands), ["band", "bucket"], max_bucket
     )
     x = banded.alias("x")
     y = banded.alias("y")
@@ -289,18 +325,35 @@ def _lsh_candidates_from_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_bucket_sizes(
     docs: DataFrame,
     num_hashes: int = 64,
     bands: int = 16,
     n: int = 5,
     text_col: str = "text",
 ) -> DataFrame:
+    """(band, bucket, n_docs) — LSH bucket-occupancy profile, the
+    diagnostic for choosing ``max_bucket`` (and the bench's disclosure of
+    how many buckets a given cap drops)."""
+    sig = _signatures_from_shingles(shingles(docs, n, text_col), num_hashes)
+    return _banded(sig, num_hashes, bands).groupBy("band", "bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Unverified LSH candidate pairs (doc_a, doc_b) — exposed so callers
     (and the bench's cost report) can measure |candidates| directly."""
     sh = shingles(docs, n, text_col)
     return _lsh_candidates_from_signatures(
-        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
+        _signatures_from_shingles(sh, num_hashes), num_hashes, bands, max_bucket
     )
 
 
@@ -312,6 +365,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     signatures_out: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard.
 
@@ -331,6 +385,12 @@ def minhash_lsh_pairs(
     are exactly what downstream banding joined on, so an external checker
     can reproduce banding/bucket-join/verify from the store alone.
 
+    ``max_bucket``: cap on LSH-bucket occupancy — band buckets holding
+    more than this many docs generate NO candidates (``_cap_buckets``:
+    bounds the self-join at max_bucket² per bucket against template-page
+    mega-buckets; recall loss confined to pairs whose every agreeing band
+    is that common). ``None`` keeps the exact uncapped behavior.
+
     Lazy result; intermediates released on result GC — hold the returned
     frame while any derivation of it is in use, or call the attached
     ``result.release_intermediates()`` handle when done (derived-frame
@@ -345,7 +405,9 @@ def minhash_lsh_pairs(
     if signatures_out is not None:
         sig.write.mode("overwrite").parquet(signatures_out)
         sig = docs.sparkSession.read.parquet(signatures_out)
-    candidates = _lsh_candidates_from_signatures(sig, num_hashes, bands).persist()
+    candidates = _lsh_candidates_from_signatures(
+        sig, num_hashes, bands, max_bucket
+    ).persist()
     return release_on_gc(
         exact_jaccard_for_candidates(candidates, sh).where(
             F.col("jaccard") >= threshold
@@ -393,23 +455,20 @@ def simhash64(
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+def simhash_chunk_bucket_sizes(
+    docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
-
-    Blocking: split the 64-bit hash into 4 16-bit chunks; by pigeonhole any
-    pair within Hamming ≤ 3 shares at least one exact chunk → equi-join per
-    chunk, then exact Hamming verify via bit_count(xor).
-
-    Lazy result; intermediates released on result GC — hold the returned
-    frame while any derivation of it is in use, or call the attached
-    ``result.release_intermediates()`` handle when done (derived-frame
-    pitfall: see ``caching.release_on_gc``)."""
-    # persist: the self-join below references the chunk table twice — the
-    # 64-bit-sum aggregation must run once (hash-once contract)
+    """(chunk_no, chunk, n_docs) — SimHash chunk-bucket occupancy profile
+    (the ``max_bucket`` diagnostic twin of ``minhash_band_bucket_sizes``)."""
     sim = simhash64(docs, text_col)
-    chunks = sim.select(
+    return _simhash_chunks(sim).groupBy("chunk_no", "chunk").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _simhash_chunks(sim: DataFrame) -> DataFrame:
+    """(doc_id, simhash, chunk_no, chunk) — 4 × 16-bit pigeonhole blocks."""
+    return sim.select(
         "doc_id",
         "simhash",
         F.posexplode(
@@ -420,9 +479,41 @@ def simhash_pairs(
                 ]
             )
         ).alias("chunk_no", "chunk"),
-    ).persist()
-    x = chunks.alias("x")
-    y = chunks.alias("y")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    token_hashes_out: str | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into 4 16-bit chunks; by pigeonhole any
+    pair within Hamming ≤ 3 shares at least one exact chunk → equi-join per
+    chunk, then exact Hamming verify via bit_count(xor).
+
+    ``max_bucket``: cap on chunk-bucket occupancy — chunk buckets holding
+    more than this many docs generate NO candidates (see ``_cap_buckets``;
+    identical boilerplate docs share ALL chunks, so one template family
+    otherwise makes every one of its 4 buckets quadratic). ``None`` keeps
+    the exact uncapped behavior.
+
+    Lazy result; intermediates released on result GC — hold the returned
+    frame while any derivation of it is in use, or call the attached
+    ``result.release_intermediates()`` handle when done (derived-frame
+    pitfall: see ``caching.release_on_gc``)."""
+    # persist: the self-join below references the chunk table twice — the
+    # 64-bit-sum aggregation must run once (hash-once contract).
+    # token_hashes_out: passed through to simhash64's sidecar store so an
+    # external checker can reproduce chunking/capping/verify from it.
+    sim = simhash64(docs, text_col, token_hashes_out=token_hashes_out)
+    chunks = _simhash_chunks(sim).persist()
+    capped = _cap_buckets(chunks, ["chunk_no", "chunk"], max_bucket)
+    x = capped.alias("x")
+    y = capped.alias("y")
     cand = (
         x.join(
             y,

@@ -11,11 +11,13 @@ from citation_graph_spark.pipeline.dedup import (
     exact_dedup,
     exact_dup_groups,
     exact_jaccard_for_candidates,
+    minhash_band_bucket_sizes,
     minhash_lsh_candidates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     shingles,
     simhash64,
+    simhash_chunk_bucket_sizes,
     simhash_pairs,
 )
 from citation_graph_spark.pipeline.multimodal import (
@@ -376,6 +378,73 @@ def test_blocked_ops_release_cached_blocks(spark):
         # <= : the gc pass may also have collected frames from EARLIER
         # tests sharing this session, dropping the count below baseline
         assert n_cached() - before <= 0, f"op {i} leaked cached intermediates"
+
+
+def _planted_mega_bucket_docs(spark, n_planted=150):
+    """A template-page skew corpus: ``n_planted`` byte-identical boilerplate
+    docs (every band/chunk bucket they touch holds all of them) + a handful
+    of distinct docs including one genuine near-dup pair (9/10) that lives
+    in small buckets."""
+    rows = [(i, "standard template page boilerplate footer nav " * 8) for i in range(n_planted)]
+    base = 10_000
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota mu",  # near-dup of ^
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink black white",
+        "north south east west up down left right forward backward",
+    ]
+    rows += [(base + i, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_mega_bucket(spark):
+    """VERDICT r04 #3: a planted mega-bucket (template pages) makes the
+    uncapped band-bucket self-join quadratic in the bucket; ``max_bucket``
+    keeps candidate volume linear while true near-dups in small buckets
+    are still found."""
+    n_planted = 150
+    docs = _planted_mega_bucket_docs(spark, n_planted)
+
+    uncapped = minhash_lsh_candidates(docs, n=3).count()
+    assert uncapped >= n_planted * (n_planted - 1) // 2  # quadratic blow-up
+
+    capped = minhash_lsh_candidates(docs, n=3, max_bucket=50).count()
+    assert capped < 50 * 50  # bounded by cap² per bucket, tiny here
+
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, max_bucket=50)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (10_000, 10_001) in found  # small-bucket near-dup survives the cap
+    assert all(a >= 10_000 for a, _ in found)  # template family generated none
+
+    # occupancy profile (the cap-choosing diagnostic): the mega bucket is
+    # visible, and every bucket the planted family touches holds all of it
+    sizes = minhash_band_bucket_sizes(docs, n=3)
+    assert sizes.agg(F.max("n_docs")).first()[0] == n_planted
+
+
+def test_simhash_chunk_cap_bounds_mega_bucket(spark):
+    """Chunk-bucket twin of the MinHash cap test: identical boilerplate
+    docs share all 4 chunks, so each of their chunk buckets is quadratic
+    uncapped; the cap drops them while near-dups in small buckets stay."""
+    n_planted = 120
+    docs = _planted_mega_bucket_docs(spark, n_planted)
+
+    uncapped = simhash_pairs(docs, max_hamming=3)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= n_planted * (n_planted - 1) // 2  # all-identical pairs
+
+    capped = simhash_pairs(docs, max_hamming=3, max_bucket=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert all(a >= 10_000 for a, _ in got)  # template family suppressed
+    # the 9/10-token near-dup pair differs by one token: its simhashes are
+    # within small Hamming distance and its chunk buckets are tiny
+    sim = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    if bin(sim[10_000] ^ sim[10_001]).count("1") <= 3:
+        assert (10_000, 10_001) in got
+
+    prof = simhash_chunk_bucket_sizes(docs)
+    assert prof.agg(F.max("n_docs")).first()[0] >= n_planted
 
 
 def test_explicit_release_handle(spark):
