@@ -218,3 +218,77 @@ def zipf_edges(
         ).alias("dst"),
         (F.col("id") % 2_147_483_647).cast("int").alias("pos"),
     ).where(F.col("src") != F.col("dst"))
+
+
+_DOC_VOCAB = (
+    "spark line column order small sort fast value scan hash slow group "
+    "batch part vector query agg table key stream filter customer the a "
+    "window join plan shuffle stage task cache block disk memory node "
+    "cluster executor driver schema row array map struct union count sum "
+    "min max avg rank dense lead lag over partition cluster bucket skew "
+    "salt merge broadcast exchange codegen whole stage limit offset"
+).split()
+
+
+def generate_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    near_dup_every: int = 20,
+    exact_dup_every: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable deterministic ``documents``-shaped corpus — pure Spark SQL
+    expressions, zero Python (the zipf_edges of text): each doc is 30-70
+    vocabulary tokens derived from ``xxhash64(source_id, position)``, so
+    the same construction at 10^9 docs is just a bigger range.
+
+    Duplicate structure (what dedup operators need to find, mirroring the
+    driver corpus's planted families):
+    - ``id % exact_dup_every == 2`` → EXACT duplicate of ``id-1``
+      (same source id, same length — byte-identical text);
+    - ``id % near_dup_every == 1`` (and not the above) → NEAR duplicate
+      of ``id-1``: same token stream except the first token is replaced,
+      and one extra token appended (Jaccard high but < 1).
+    Both derivations reuse ``id-1``'s token stream deterministically, so a
+    single-process checker can reproduce any row from its id alone.
+    """
+    if num_partitions is None:
+        num_partitions = max(4, min(256, n_docs // 50_000 + 4))
+    v = len(_DOC_VOCAB)
+    vocab = F.array(*[F.lit(w) for w in _DOC_VOCAB])
+    df = spark.range(0, n_docs, numPartitions=num_partitions)
+    doc_id = F.col("id")
+    is_exact = (doc_id % exact_dup_every == 2) & (doc_id > 0)
+    is_near = (doc_id % near_dup_every == 1) & ~is_exact & (doc_id > 0)
+    src_id = F.when(is_exact | is_near, doc_id - 1).otherwise(doc_id)
+    n_toks = (F.pmod(F.xxhash64(src_id, F.lit(seed)), F.lit(41)) + 30).cast("int")
+    tok = lambda j: F.element_at(  # noqa: E731
+        vocab, (F.pmod(F.xxhash64(src_id, F.lit(seed + 7), j), F.lit(v)) + 1).cast("int")
+    )
+    toks = F.transform(F.sequence(F.lit(1), n_toks), tok)
+    # near-dup mutation: replace token 1, append one token — same stream
+    # otherwise, so Jaccard over shingles stays high but below 1
+    mut_head = F.concat(
+        F.array(
+            F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(doc_id, F.lit(seed + 13)), F.lit(v)) + 1).cast("int"),
+            )
+        ),
+        F.slice(toks, 2, 100),
+        F.array(
+            F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(doc_id, F.lit(seed + 17)), F.lit(v)) + 1).cast("int"),
+            )
+        ),
+    )
+    text = F.array_join(F.when(is_near, mut_head).otherwise(toks), " ")
+    return df.select(
+        doc_id.alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(text).alias("n_chars"),
+    )

@@ -127,9 +127,12 @@ def _hash_min(
         state = ctx.truncate(state, 0)
         ctx.record(state, 0, {"changed": None})
 
+    import time as _time
+
     changed = -1
     it = start_iter - 1
     for it in range(start_iter, max_iter + 1):
+        _t_iter = _time.time()
         nbr_min = (
             state.join(sym.hint("merge"), state.id == sym.src)
             .groupBy(sym.dst.alias("id"))
@@ -146,7 +149,11 @@ def _hash_min(
         new_state = ctx.truncate(new_state, it)
         changed = new_state.where("_changed").count()
         state = new_state.drop("_changed")
-        state = ctx.record(state, it, {"changed": changed})
+        state = ctx.record(
+            state,
+            it,
+            {"changed": changed, "seconds": round(_time.time() - _t_iter, 3)},
+        )
         if changed == 0:
             break
 
