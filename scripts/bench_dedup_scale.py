@@ -52,10 +52,31 @@ def measure(spark, n_docs: int, cap: int | None) -> dict:
     docs = datagen.generate_documents(spark, n_docs, seed=42).persist()
     docs.count()
 
-    t0 = time.time()
-    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.2, max_bucket=cap)
-    n_pairs = pairs.count()
-    wall = round(time.time() - t0, 3)
+    # best-of-N walls (same estimator as every other study: host
+    # interference only ever SLOWS a run, so the fastest trial is the
+    # cleanest sample; all trials disclosed). Each trial releases its
+    # hash-once caches so no trial reuses the previous one's signatures.
+    n_trials = int(os.environ.get("SPARK_GRAFT_DEDUP_TRIALS", "2"))
+    trial_walls = []
+    n_pairs = None
+    cached_mb = 0.0
+    for _ in range(max(1, n_trials)):
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(docs, n=3, threshold=0.2, max_bucket=cap)
+        n_pairs = pairs.count()
+        trial_walls.append(round(time.time() - t0, 3))
+        # sample the persisted-block footprint while the hash-once
+        # signature/candidate caches are still live (the job's real
+        # storage cost), THEN release them so the next trial re-hashes
+        cached_mb = max(
+            cached_mb,
+            round(
+                sum(r.memSize() for r in sc._jsc.sc().getRDDStorageInfo()) / 2**20,
+                1,
+            ),
+        )
+        pairs.release_intermediates()
+    wall = min(trial_walls)
 
     n_cand = minhash_lsh_candidates(docs, n=3, max_bucket=cap).count()
     sizes = minhash_band_bucket_sizes(docs, n=3)
@@ -64,16 +85,13 @@ def measure(spark, n_docs: int, cap: int | None) -> dict:
         sizes.where(F.col("n_docs") > cap).count() if cap is not None else 0
     )
 
-    cached_mb = round(
-        sum(r.memSize() for r in sc._jsc.sc().getRDDStorageInfo()) / 2**20, 1
-    )
     rt = sc._jvm.java.lang.Runtime.getRuntime()
     heap_mb = round((rt.totalMemory() - rt.freeMemory()) / 2**20, 1)
-    pairs.release_intermediates()
     docs.unpersist()
     return {
         "n_docs": n_docs,
         "wall_s": wall,
+        "wall_s_all_trials": trial_walls,
         "pairs": n_pairs,
         "candidates": n_cand,
         "max_bucket_occupancy": max_occ,
@@ -101,8 +119,10 @@ def main() -> int:
     spark.stop()
 
     rows = "\n".join(
-        "| {n_docs:,} | {wall_s} | {pairs:,} | {candidates:,} | {max_bucket_occupancy} "
-        "| {oversized_buckets} | {cached_mb} | {heap_mb} |".format(**r)
+        "| {n_docs:,} | {wall_s} | {trials} | {pairs:,} | {candidates:,} | {max_bucket_occupancy} "
+        "| {oversized_buckets} | {cached_mb} | {heap_mb} |".format(
+            trials=", ".join(str(w) for w in r["wall_s_all_trials"]), **r
+        )
         for r in results
     )
     base = results[0]
@@ -121,13 +141,13 @@ identical end-to-end `minhash_lsh_pairs` job (n=3, threshold 0.2,
 max_bucket {cap}) over `datagen.generate_documents` corpora of growing
 size — deterministic, planted exact-dup (1/50) and near-dup (1/20)
 families at constant density, so candidate volume should grow LINEARLY
-with docs. local[{cpus}], fresh corpus per point, single trial
-(candidate/pair counts are deterministic; walls carry the usual host
-noise). Memory columns are the disclosed local-mode proxies (persisted
-blocks + used heap), not true executor peaks.
+with docs. local[{cpus}], fresh corpus per point, best-of-N walls (all
+trials disclosed — interference only ever slows a run; candidate/pair
+counts are deterministic). Memory columns are the disclosed local-mode
+proxies (persisted blocks + used heap), not true executor peaks.
 
-| docs | wall (s) | verified pairs | candidates | max bucket occupancy | buckets > cap | cached MB | heap MB |
-|---|---|---|---|---|---|---|---|
+| docs | wall (s, best) | all trials (s) | verified pairs | candidates | max bucket occupancy | buckets > cap | cached MB | heap MB |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 
 Scaling check: {ratios} — candidate growth tracks corpus growth
