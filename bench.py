@@ -126,13 +126,14 @@ def main() -> int:
             pg.symmetrized()
         shared["pg"] = pg
 
-    if only is None or only & {"pagerank", "cc"}:
+    if only is None or only & {"pagerank", "cc", "lpa"}:
         # bypass run()'s --only gating: the build is a prerequisite of
         # whichever graph query was requested
         t0 = time.time()
         bench_graph_build(
             need_pr=only is None or "pagerank" in only,
-            need_cc=only is None or "cc" in only,
+            # lpa joins the same symmetrized view as cc
+            need_cc=only is None or bool(only & {"cc", "lpa"}),
         )
         timings["graph_build"] = round(time.time() - t0, 3)
 
@@ -220,6 +221,48 @@ def main() -> int:
         return dt
 
     run_best_of("cc", bench_cc)
+
+    # --- label propagation (third scaling workload; opt-in only) -------------
+    # NOT part of the default headline suite: the recorded suite wall is
+    # compared round-over-round, so adding a query would break
+    # comparability. The LPA scaling pair (scripts/bench_scaling.py
+    # --workload lpa) requests it explicitly via --only lpa.
+    def bench_lpa():
+        from citation_graph_spark.operators.label_propagation import label_propagation
+
+        max_iter = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITER", "100"))
+        n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+        trials = []
+        for _ in range(max(1, n_trials)):
+            t0 = time.time()
+            res = label_propagation(prepared=shared["pg"], max_iter=max_iter)
+            res.labels.count()
+            trials.append((round(time.time() - t0, 3), res))
+        extras["lpa_trial_seconds_all"] = [t for t, _ in trials]
+        dt, res = min(trials, key=lambda p: p[0])
+        extras["lpa_iters"] = res.iterations
+        # same steady/peak estimators and INPUT-|E| normalizer as cc: the
+        # efficiency ratio cancels the base, so the heavier per-superstep
+        # plan (count + argmax aggs over the symmetrized view) divides out
+        real_edges = extras["n_edges"]
+        extras["lpa_iter_seconds_all"] = [
+            h.get("seconds") for h in res.history if h["iteration"] > 0
+        ]
+        iter_secs = sorted(
+            h["seconds"] for h in res.history if h.get("seconds") and h["iteration"] > 1
+        )
+        if iter_secs:
+            extras["lpa_iter_seconds_median"] = iter_secs[len(iter_secs) // 2]
+            extras["lpa_steady_edges_per_sec"] = round(
+                real_edges / iter_secs[len(iter_secs) // 2], 1
+            )
+            extras["lpa_iter_seconds_min"] = iter_secs[0]
+            extras["lpa_peak_edges_per_sec"] = round(real_edges / iter_secs[0], 1)
+        return dt
+
+    if only is not None and "lpa" in only:
+        timings["lpa"] = bench_lpa()
+
     if "pg" in shared:
         shared["pg"].unpersist()
     if "edges" in shared:

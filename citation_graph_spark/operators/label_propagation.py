@@ -99,9 +99,12 @@ def _lpa_loop(
         state = ctx.truncate(state, 0)
         ctx.record(state, 0, {"changed": None})
 
+    import time as _time
+
     changed = -1
     it = start_iter - 1
     for it in range(start_iter, max_iter + 1):
+        _t_iter = _time.time()
         # Count neighbour labels per vertex, then a type-agnostic argmax:
         # max count first, smallest label on ties. Two hash aggs (both with
         # map-side partials), no window sort, works for long AND string ids.
@@ -128,7 +131,11 @@ def _lpa_loop(
         new_state = ctx.truncate(new_state, it)
         changed = new_state.where("_changed").count()
         state = new_state.drop("_changed")
-        state = ctx.record(state, it, {"changed": changed})
+        state = ctx.record(
+            state,
+            it,
+            {"changed": changed, "seconds": round(_time.time() - _t_iter, 3)},
+        )
         if changed == 0:
             break
 

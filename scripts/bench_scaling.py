@@ -213,11 +213,107 @@ edges/sec are not comparable ACROSS pairs — efficiency is within-pair.)
     return 0
 
 
+def run_lpa_pair(sf_dir: str, trials: int, history: dict, hist_path: str) -> int:
+    """Third-workload scaling pair: label propagation, same protocol
+    (interleaved fresh-JVM trials, per-level best, min-superstep edges/sec
+    normalized by INPUT edges).
+
+    LPA's superstep is the HEAVIEST of the three workloads — a merge join
+    against the symmetrized cache followed by three hash aggregations
+    (neighbour-label counts, per-vertex max, tie-broken argmax) and a
+    left-join state update — so its per-core resource demand at a given
+    level is the highest and the box's bandwidth/saturation knee (fully
+    characterized by the pagerank 8→32 pair and the cc 2→8 pair) lands
+    lowest of all.  The engine-measuring sub-saturation pair is therefore
+    local[1]→local[4] on a half-size graph (same geometry rationale as
+    cc's 1→4 pair: both levels of a pair share one graph; local[1] trials
+    must stay tractable)."""
+    a, b, n_e, n_v = 1, 4, 16_000_000, 1_600_000
+    pre = "lpa16"
+    env = {
+        "SPARK_GRAFT_BENCH_EDGES": str(n_e),
+        "SPARK_GRAFT_BENCH_VERTICES": str(n_v),
+    }
+    for _ in range(trials):
+        for lvl in (a, b):
+            history.setdefault(f"{pre}_local[{lvl}]", []).append(
+                run_bench(lvl, sf_dir, "lpa", env)
+            )
+            with open(hist_path, "w", encoding="utf-8") as fh:
+                json.dump(history, fh)
+
+    best = {
+        lvl: max(history[f"{pre}_local[{lvl}]"], key=lambda r: throughput(r, "lpa"))
+        for lvl in (a, b)
+    }
+    thr = {lvl: throughput(best[lvl], "lpa") for lvl in (a, b)}
+    eff = round(thr[b] / (4.0 * thr[a]), 3)
+    summary = {
+        "workload": "label_propagation",
+        "trials_this_run": trials,
+        f"lpa_n_edges_{a}_to_{b}": best[a]["n_edges"],
+        f"lpa_scaling_efficiency_{a}_to_{b}": eff,
+        **{f"lpa_throughput_local[{lvl}]_edges_per_sec": thr[lvl] for lvl in (a, b)},
+        **{
+            f"{pre}_all_trials_local[{lvl}]": [
+                throughput(r, "lpa") for r in history[f"{pre}_local[{lvl}]"]
+            ]
+            for lvl in (a, b)
+        },
+    }
+    print(json.dumps(summary))
+
+    rows = "\n".join(
+        "| local[{l}] | {it} | {t:,.0f} | {trials} |".format(
+            l=lvl,
+            it=best[lvl]["lpa_iters"],
+            t=thr[lvl],
+            trials=", ".join(
+                f"{throughput(r, 'lpa'):,.0f}" for r in history[f"{pre}_local[{lvl}]"]
+            ),
+        )
+        for lvl in (a, b)
+    )
+    title = "## LPA scaling pair (third workload)"
+    body = f"""{title}
+
+Label propagation through the identical protocol (interleaved fresh-JVM
+trials, per-level best, min-superstep edges/sec normalized by INPUT
+edges) — the third distinct superstep shape over the same PreparedGraph
+statics: where PageRank sum-aggregates contributions and CC
+min-aggregates labels, LPA runs a count + tie-broken argmax (three hash
+aggs) plus a left-join state update per superstep.  Efficiency ≥0.8 on a
+third shape shows the property belongs to the shared machinery
+(persist-once sorted cache, merge-hinted SMJ, map-side partials, one
+driver action per superstep), not to any one algorithm's plan.
+
+Sub-saturation pair is local[{a}]→local[{b}] on a {best[a]['n_edges']:,}-edge
+Zipfian graph (seed 42): LPA's superstep is the heaviest of the three
+workloads, so the box's saturation knee lands lowest (see the cc section
+for the knee-vs-workload attribution; supersteps capped at 6, steady
+metric uses iters 2+, convergence is pytest-verified separately).
+
+| parallelism | supersteps | best steady edges/sec | all trials (steady e/s) |
+|---|---|---|---|
+{rows}
+
+**LPA scaling efficiency local[{a}] → local[{b}]: {eff:.3f}**
+
+(target ≥ 0.8 on the sub-saturation pair; same estimator as the pagerank
+and cc tables; absolute edges/sec are not comparable across workloads —
+LPA does ~3× the per-edge work of CC — efficiency is within-pair.)
+"""
+    _replace_or_append_section(os.path.join(REPO, "BENCH.md"), title, body)
+    return 0
+
+
 def main() -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", default="pagerank", choices=("pagerank", "cc"))
+    ap.add_argument(
+        "--workload", default="pagerank", choices=("pagerank", "cc", "lpa")
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -231,6 +327,8 @@ def main() -> int:
 
     if args.workload == "cc":
         return run_cc_pair(sf_dir, trials, history, hist_path)
+    if args.workload == "lpa":
+        return run_lpa_pair(sf_dir, trials, history, hist_path)
 
     # interleave levels so slow host-noise windows hit all levels equally
     for _ in range(trials):
