@@ -119,6 +119,211 @@ def pagerank(
             prepared.unpersist()
 
 
+def personalized_pagerank(
+    edges: DataFrame | None = None,
+    sources: DataFrame | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    durable_every: int = 5,
+    salt_factor: int = 0,
+    resume: bool = True,
+    num_partitions: int | None = None,
+    prepared: PreparedGraph | None = None,
+) -> PageRankResult:
+    """Personalized PageRank: random walk with restart to a source set.
+
+    The reference's whole program is rooted expansion from one seed paper
+    (``src/citation_graph/traverser.py:132-145`` walks outward from
+    ``start_paper``); PPR is the principled scoring of that rooted view —
+    relevance TO the seed set rather than global importance:
+
+        r'(v) = ((1-a) + a*dm) * p(v) + a * Σ_{u→v} r(u)/outdeg(u)
+
+    with ``p`` uniform over ``sources ∩ vertices`` (ns of them, p(v) =
+    1/ns), r0 = p, dangling mass restarting at the sources, and the same
+    L1-delta stopping rule as :func:`pagerank`. The superstep is the
+    IDENTICAL plan shape (shared ``superstep_contribs``: merge-hinted SMJ
+    vs the persisted src-sorted edge cache, map-side partial aggregation,
+    one scalar action per iteration); only the per-vertex restart term
+    differs, a branchless CASE over a broadcast-joined source flag.
+
+    ``sources``: DataFrame with an ``id`` column (kept declarative —
+    typically tiny vs the graph, so the flag join broadcasts). Ids not in
+    the graph are ignored; ns counts only matched sources.
+    ``salt_factor`` is the explicit integer knob (no "auto" here — the
+    measured A/B would re-time what the pagerank study already settled
+    for the shared superstep body)."""
+    if sources is None:
+        raise ValueError("personalized_pagerank requires a sources DataFrame")
+    owns_prepared = prepared is None
+    if prepared is None:
+        if edges is None:
+            raise ValueError("pass either edges or prepared")
+        prepared = PreparedGraph(edges, num_partitions)
+    else:
+        edges = prepared.edges
+    spark = edges.sparkSession
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        # fingerprint the source set into the manifest args so a resume
+        # against a checkpoint written for a DIFFERENT seed set is rejected
+        # by the args-compat check (order-independent sum of id hashes)
+        src_fp = sources.select(
+            F.sum(F.xxhash64(F.col("id").cast("string"))).alias("fp")
+        ).first()["fp"]
+        ckpt = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            args={
+                "algorithm": "personalized_pagerank",
+                "alpha": alpha,
+                "tol": tol,
+                "max_iter": max_iter,
+                "salt_factor": salt_factor,
+                "sources_fp": src_fp,
+            },
+        )
+    ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)
+    try:
+        return _ppr_loop(
+            prepared, ctx, ckpt, sources, alpha, tol, max_iter, salt_factor,
+            resume, checkpoint_dir,
+        )
+    finally:
+        if owns_prepared:
+            prepared.unpersist()
+
+
+def _ppr_loop(
+    prepared: PreparedGraph,
+    ctx: SuperstepContext,
+    ckpt,
+    sources: DataFrame,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    salt_factor: int,
+    resume: bool,
+    checkpoint_dir,
+) -> PageRankResult:
+    import time as _time
+
+    start_iter = 0
+    dangling_mass = None
+    state = None
+    resumed_delta = None
+    if ckpt is not None and resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            it, state_df, manifest = latest
+            from citation_graph_spark.sources.checkpoint import resume_compatible
+
+            if resume_compatible(manifest.get("args"), ckpt.args):
+                state = state_df
+                start_iter = it + 1
+                dangling_mass = float(manifest["metrics"]["dangling_mass"])
+                prev_delta = manifest["metrics"].get("delta")
+                if prev_delta is not None:
+                    resumed_delta = float(prev_delta)
+                    if resumed_delta < tol:
+                        return PageRankResult(
+                            state.select("id", "rank"), it, resumed_delta, True, []
+                        )
+
+    w_edges = prepared.weighted_edges(salt_factor)
+    flagged = prepared.dangling_flagged()
+    if prepared.n_vertices() == 0:
+        empty = flagged.select(F.col("id"), F.lit(0.0).alias("rank"))
+        return PageRankResult(empty, 0, 0.0, True, [])
+
+    # source flag joined once into the static vertex table (broadcast: the
+    # seed set is small by construction), then carried through the state
+    src_flagged = flagged.join(
+        F.broadcast(sources.select(F.col("id")).distinct().withColumn(
+            "is_source", F.lit(True)
+        )),
+        "id",
+        "left",
+    ).select(
+        "id", "is_dangling", F.coalesce("is_source", F.lit(False)).alias("is_source")
+    )
+    ns = src_flagged.where("is_source").count()
+    if ns == 0:
+        raise ValueError("no source id matches a graph vertex")
+
+    if state is None:
+        state = src_flagged.select(
+            "id",
+            F.when(F.col("is_source"), F.lit(1.0 / ns)).otherwise(0.0).alias("rank"),
+            "is_dangling",
+            "is_source",
+        )
+        state = ctx.truncate(state, 0)
+        dangling_mass = (
+            state.where("is_dangling").agg(F.sum("rank")).first()[0] or 0.0
+        )
+        state = ctx.record(state, 0, {"dangling_mass": dangling_mass, "delta": None})
+        start_iter = 1
+
+    delta = float("inf") if resumed_delta is None else resumed_delta
+    ran = False
+    it = start_iter - 1
+    for it in range(start_iter, max_iter + 1):
+        ran = True
+        _t_iter = _time.time()
+        contribs = superstep_contribs(state, w_edges, salt_factor)
+        restart = (1.0 - alpha) + alpha * dangling_mass  # total mass restarting
+        new_state = (
+            state.join(contribs.hint("merge"), state.id == contribs.dst, "left")
+            .select(
+                state.id.alias("id"),
+                (
+                    F.when(state.is_source, F.lit(restart / ns)).otherwise(0.0)
+                    + F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("new_rank"),
+                state.rank.alias("old_rank"),
+                state.is_dangling.alias("is_dangling"),
+                state.is_source.alias("is_source"),
+            )
+            .select(
+                "id",
+                F.col("new_rank").alias("rank"),
+                "is_dangling",
+                "is_source",
+                F.abs(F.col("new_rank") - F.col("old_rank")).alias("_delta"),
+            )
+        )
+        new_state = ctx.truncate(new_state, it)
+        row = new_state.agg(
+            F.sum("_delta").alias("delta"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
+        ).first()
+        delta = float(row["delta"] or 0.0)
+        dangling_mass = float(row["dm"] or 0.0)
+        state = new_state.drop("_delta")
+        state = ctx.record(
+            state,
+            it,
+            {
+                "dangling_mass": dangling_mass,
+                "delta": delta,
+                "seconds": round(_time.time() - _t_iter, 3),
+            },
+        )
+        if delta < tol:
+            break
+
+    converged = delta < tol
+    if ckpt is not None and ran:
+        state = ctx.finish(
+            state, it, {"dangling_mass": dangling_mass, "delta": delta, "final": converged}
+        )
+    return PageRankResult(state.select("id", "rank"), it, delta, converged, ctx.history)
+
+
 def _resolve_auto_salt(
     spark, prepared: PreparedGraph, checkpoint_dir: str | None, **call_args
 ) -> int:

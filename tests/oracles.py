@@ -190,3 +190,79 @@ def bfs_oracle(edges, root, max_depth, max_per_src=None, exclude=frozenset()):
         if not frontier:
             break
     return visited
+
+
+def ppr_oracle(edges, sources, alpha=0.85, tol=1e-6, max_iter=100):
+    """Personalized PageRank mirror of operators/pagerank.py
+    ``personalized_pagerank``: restart vector uniform over
+    sources ∩ vertices, r0 = restart vector, dangling mass restarts at the
+    sources, L1-delta stopping. Returns (ranks dict, iterations)."""
+    verts = _vertices(edges)
+    srcs = sorted(set(sources) & verts)
+    ns = len(srcs)
+    if ns == 0:
+        raise ValueError("no source id matches a graph vertex")
+    outdeg = Counter(s for s, _ in edges)
+    p = {v: (1.0 / ns if v in set(srcs) else 0.0) for v in verts}
+    ranks = dict(p)
+    it = 0
+    for it in range(1, max_iter + 1):
+        dm = sum(r for v, r in ranks.items() if outdeg[v] == 0)
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += ranks[s] / outdeg[s]
+        restart = (1.0 - alpha) + alpha * dm
+        new_ranks = {v: restart * p[v] + alpha * contrib[v] for v in verts}
+        delta = sum(abs(new_ranks[v] - ranks[v]) for v in verts)
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks, it
+
+
+def hits_oracle(edges, tol=1e-8, max_iter=50):
+    """HITS mirror of operators/hits.py: a' = E^T h (unnormalized), h' =
+    E a' (from the unnormalized a'), then L1-normalize both; h0 = 1/n.
+    Returns ({id: (auth, hub)}, iterations)."""
+    verts = _vertices(edges)
+    n = len(verts)
+    if n == 0:
+        return {}, 0
+    hub = {v: 1.0 / n for v in verts}
+    auth = {v: 0.0 for v in verts}
+    it = 0
+    for it in range(1, max_iter + 1):
+        a_raw = defaultdict(float)
+        for s, d in edges:
+            a_raw[d] += hub[s]
+        h_raw = defaultdict(float)
+        for s, d in edges:
+            h_raw[s] += a_raw[d]
+        asum = sum(a_raw.values()) or 1.0
+        hsum = sum(h_raw.values()) or 1.0
+        new_auth = {v: a_raw[v] / asum for v in verts}
+        new_hub = {v: h_raw[v] / hsum for v in verts}
+        delta = sum(
+            abs(new_auth[v] - auth[v]) + abs(new_hub[v] - hub[v]) for v in verts
+        )
+        auth, hub = new_auth, new_hub
+        if delta < tol:
+            break
+    return {v: (auth[v], hub[v]) for v in verts}, it
+
+
+def kcore_oracle(edges, k):
+    """k-core peel mirror of operators/kcore.py over the symmetrized
+    deduped self-loop-free view. Returns {id: within-core degree}."""
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive if len(nbrs[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(nbrs[v] & alive) for v in alive}

@@ -278,3 +278,92 @@ def test_auto_salt_resume_compatible(spark, tmp_path):
     )
     assert resumed.history == []  # converged checkpoint -> instant resume
     assert _spark_ranks(resumed) == _spark_ranks(first)
+
+
+# --- personalized PageRank -------------------------------------------------
+
+from citation_graph_spark.operators.pagerank import personalized_pagerank  # noqa: E402
+from tests.oracles import ppr_oracle  # noqa: E402
+
+
+def _sources_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id bigint")
+
+
+def test_ppr_matches_oracle(spark):
+    edges = datagen.zipf_edges(spark, n_vertices=150, n_edges=1000, seed=21).cache()
+    elist = _edge_list(edges)
+    sources = [0, 3, 7]
+    res = personalized_pagerank(
+        edges, sources=_sources_df(spark, sources), tol=1e-8
+    )
+    assert res.converged
+    got = _spark_ranks(res)
+    exp, _ = ppr_oracle(elist, sources, tol=1e-8)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert math.isclose(got[v], exp[v], abs_tol=1e-6), v
+    # total mass is conserved at 1 (restart redistributes dangling mass)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+
+def test_ppr_mass_concentrates_near_sources(spark):
+    # two disjoint cycles; sources only in the first — ALL rank must stay
+    # in the source component (teleport never reaches the other one)
+    c1 = [(i, (i + 1) % 10) for i in range(10)]
+    c2 = [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+    edges = spark.createDataFrame(c1 + c2, "src bigint, dst bigint")
+    res = personalized_pagerank(
+        edges, sources=_sources_df(spark, [0]), tol=1e-10, max_iter=300
+    )
+    got = _spark_ranks(res)
+    assert sum(r for v, r in got.items() if v >= 100) == 0.0
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_ppr_unmatched_sources_raise(spark):
+    edges = datagen.cycle_edges(spark, 5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, sources=_sources_df(spark, [999]), tol=1e-6)
+
+
+def test_ppr_checkpoint_resume_parity(spark, tmp_path):
+    """Kill/resume parity plus seed-set fingerprint guard: resuming with a
+    DIFFERENT source set must ignore the checkpoint (args-compat check on
+    the sources fingerprint) instead of blending two fixpoints."""
+    edges = datagen.zipf_edges(spark, n_vertices=80, n_edges=500, seed=31).cache()
+    srcs = _sources_df(spark, [0, 2])
+    full = _spark_ranks(personalized_pagerank(edges, sources=srcs, tol=0.0, max_iter=6))
+    ck = str(tmp_path / "ppr_ck")
+    personalized_pagerank(
+        edges, sources=srcs, tol=0.0, max_iter=3, checkpoint_dir=ck, durable_every=1
+    )
+    resumed = _spark_ranks(
+        personalized_pagerank(
+            edges, sources=srcs, tol=0.0, max_iter=6, checkpoint_dir=ck, durable_every=1
+        )
+    )
+    assert set(full) == set(resumed)
+    for v in full:
+        assert math.isclose(full[v], resumed[v], abs_tol=1e-12), v
+
+    # different seed set → checkpoint incompatible → fresh run, not a blend
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        other = _spark_ranks(
+            personalized_pagerank(
+                edges,
+                sources=_sources_df(spark, [1, 3]),
+                tol=0.0,
+                max_iter=6,
+                checkpoint_dir=ck,
+                durable_every=1,
+            )
+        )
+    exp_other, _ = ppr_oracle(_edge_list(edges), [1, 3], tol=0.0, max_iter=6)
+    for v in exp_other:
+        assert math.isclose(other[v], exp_other[v], abs_tol=1e-9), v
