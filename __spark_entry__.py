@@ -88,9 +88,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         symmetrize,
     )
     from citation_graph_spark.functions.normalize import PUNCT_RE
+    from citation_graph_spark.edges import vertices_of
     from citation_graph_spark.operators.components import connected_components
+    from citation_graph_spark.operators.hits import hits
+    from citation_graph_spark.operators.kcore import k_core
     from citation_graph_spark.operators.label_propagation import label_propagation
-    from citation_graph_spark.operators.pagerank import pagerank
+    from citation_graph_spark.operators.pagerank import (
+        pagerank,
+        personalized_pagerank,
+    )
     from citation_graph_spark.operators.triangles import triangle_counts_per_vertex
     from citation_graph_spark.pipeline.dedup import (
         embedding_cosine_pairs,
@@ -430,6 +436,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_token_bins_scalable(_t(spark, sf, "documents"), budget_tokens=1000)
 
+    def q_ppr_5iter(spark, sf):
+        # personalized PageRank, 5 fixed iterations (tol=0 → SQL-expressible);
+        # the seed set is deterministic in both engines: vertices ≡ 0 (mod 97)
+        edges = _edges(spark, sf).cache()
+        sources = vertices_of(edges).where(F.col("id") % 97 == 0)
+        res = personalized_pagerank(edges, sources=sources, tol=0.0, max_iter=5)
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    def q_hits_5iter(spark, sf):
+        # HITS hubs/authorities, 5 fixed iterations — the oracle unrolls the
+        # same Gauss-Seidel ordering (auth from prev hub, hub from raw auth)
+        res = hits(_edges(spark, sf), tol=0.0, max_iter=5)
+        return res.scores.select(
+            "id",
+            F.round("auth", 9).alias("auth"),
+            F.round("hub", 9).alias("hub"),
+        )
+
+    def q_kcore(spark, sf):
+        # 4-core of the undirected link graph: iterated degree peel to
+        # fixpoint; the oracle unrolls peel rounds with a fixpoint guard
+        return k_core(_edges(spark, sf), k=4).vertices
+
     def q_connected_components(spark, sf):
         return connected_components(_edges(spark, sf)).labels
 
@@ -568,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "pagerank": q_pagerank,
         "pagerank_5iter": q_pagerank_5iter,
+        "ppr_5iter": q_ppr_5iter,
+        "hits_5iter": q_hits_5iter,
+        "kcore": q_kcore,
         "connected_components": q_connected_components,
         "cc_two_star": q_cc_two_star,
         "label_propagation": q_label_propagation,
@@ -834,6 +866,150 @@ def _pagerank_adaptive_sql(
     UNION ALL
     SELECT CAST(-987654321 AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS rank
     WHERE (SELECT k FROM conv) IS NULL""")
+    return "".join(parts)
+
+
+def _ppr_sql(iters: int, alpha: float = 0.85, mod: int = 97) -> str:
+    """Personalized PageRank unrolled ``iters`` times, replicating the
+    engine's update (operators/pagerank.py ``personalized_pagerank``) in
+    IEEE double arithmetic: p uniform over the deterministic seed set
+    {v : v ≡ 0 (mod ``mod``)}, r0 = p, r' = ((1−a) + a·dm)·p + a·Σ
+    r(u)/outdeg(u). Same float-repr embedding and round-to-9 discipline
+    as ``_pagerank_sql`` (the ((1−a) + a·dm)/ns restart term is computed
+    with the identical op order as the engine's Python-scalar path)."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    oma = f"CAST({1.0 - alpha!r} AS DOUBLE)"
+    src_pred = f"id % {mod} = 0"
+    parts = [f"""{_EDGES_CTE},
+    verts AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    ns AS MATERIALIZED (SELECT count(*) AS ns FROM verts WHERE {src_pred}),
+    deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    w AS MATERIALIZED (
+      SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.od AS w
+      FROM edges e JOIN deg d ON d.src = e.src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT v.id,
+             CASE WHEN v.{src_pred}
+                  THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM ns)
+                  ELSE CAST(0 AS DOUBLE) END AS rank,
+             NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = v.id) AS dang
+      FROM verts v
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT COALESCE(sum(CASE WHEN dang THEN rank END), CAST(0 AS DOUBLE)) AS dm
+      FROM r{i - 1}
+    ),
+    c{i} AS (
+      SELECT w.dst AS id, sum(r.rank * w.w) AS contrib
+      FROM r{i - 1} r JOIN w ON w.src = r.id
+      GROUP BY w.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT v.id,
+             CASE WHEN v.{src_pred}
+                  THEN ({oma} + {a} * (SELECT dm FROM d{i}))
+                       / (SELECT ns FROM ns)
+                  ELSE CAST(0 AS DOUBLE) END
+             + {a} * COALESCE(c.contrib, CAST(0 AS DOUBLE)) AS rank,
+             v.dang
+      FROM r{i - 1} v LEFT JOIN c{i} c ON c.id = v.id
+    )""")
+    parts.append(f"\n    SELECT id, round(rank, 9) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _hits_sql(iters: int) -> str:
+    """HITS unrolled ``iters`` times, replicating the engine's update
+    (operators/hits.py) including its Gauss-Seidel ordering: a_raw from
+    the previous hub vector, h_raw from the UNNORMALIZED a_raw (the scale
+    factor cancels under L1 normalization — both engines compute the
+    division in the same order), then both vectors L1-normalized; h0 =
+    1/n, a0 = 0. Rounded to 9 decimals on both sides."""
+    parts = [f"""{_EDGES_CTE},
+    verts AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+    h0 AS MATERIALIZED (
+      SELECT id, CAST(0 AS DOUBLE) AS auth,
+             CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS hub
+      FROM verts
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS id, sum(h.hub) AS a_raw
+      FROM h{i - 1} h JOIN edges e ON e.src = h.id
+      GROUP BY e.dst
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS id,
+             sum(COALESCE(ar.a_raw, CAST(0 AS DOUBLE))) AS h_raw
+      FROM edges e LEFT JOIN ar{i} ar ON ar.id = e.dst
+      GROUP BY e.src
+    ),
+    s{i} AS (
+      SELECT
+        CASE WHEN COALESCE((SELECT sum(a_raw) FROM ar{i}), CAST(0 AS DOUBLE)) = 0
+             THEN CAST(1.0 AS DOUBLE)
+             ELSE (SELECT sum(a_raw) FROM ar{i}) END AS asum,
+        CASE WHEN COALESCE((SELECT sum(h_raw) FROM hr{i}), CAST(0 AS DOUBLE)) = 0
+             THEN CAST(1.0 AS DOUBLE)
+             ELSE (SELECT sum(h_raw) FROM hr{i}) END AS hsum
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT v.id,
+             COALESCE(ar.a_raw, CAST(0 AS DOUBLE)) / (SELECT asum FROM s{i}) AS auth,
+             COALESCE(hr.h_raw, CAST(0 AS DOUBLE)) / (SELECT hsum FROM s{i}) AS hub
+      FROM h{i - 1} v
+      LEFT JOIN ar{i} ar ON ar.id = v.id
+      LEFT JOIN hr{i} hr ON hr.id = v.id
+    )""")
+    parts.append(
+        f"\n    SELECT id, round(auth, 9) AS auth, round(hub, 9) AS hub"
+        f" FROM h{iters}"
+    )
+    return "".join(parts)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """k-core peel unrolled ``rounds`` times over the symmetrized deduped
+    view (operators/kcore.py): each round keeps vertices whose degree
+    within the current induced subgraph is ≥ k. GUARDED like the hash-min
+    unroll: if the last two rounds' vertex sets still differ (peel depth
+    exceeds the unroll), a poison row is emitted so an insufficient
+    unroll fails loudly as an oracle error. The final degrees are taken
+    from the last round's degree table — valid exactly because the guard
+    proves it was computed over the fixpoint vertex set."""
+    parts = [
+        _SYM_VERTS_CTE,
+        ",\n    v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT s.src AS id, count(*) AS degree
+      FROM sym s
+      JOIN v{i - 1} a ON s.src = a.id
+      JOIN v{i - 1} b ON s.dst = b.id
+      GROUP BY s.src
+    ),
+    v{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE degree >= {k})""")
+    parts.append(f"""
+    SELECT id, degree FROM d{rounds} WHERE degree >= {k}
+    UNION ALL
+    SELECT CAST(-987654321 AS BIGINT) AS id, CAST(-987654321 AS BIGINT) AS degree
+    WHERE EXISTS (
+      SELECT 1 FROM v{rounds - 1} p
+      WHERE NOT EXISTS (SELECT 1 FROM v{rounds} n WHERE n.id = p.id)
+    )""")
     return "".join(parts)
 
 
@@ -1225,6 +1401,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_two_star": _cc_hashmin_sql(16),
         "label_propagation": _lpa_sql(5),
         "pagerank_5iter": _pagerank_sql(5),
+        "ppr_5iter": _ppr_sql(5),
+        "hits_5iter": _hits_sql(5),
+        "kcore": _kcore_sql(4, 10),
         # the convergence-path cell: adaptive unroll reproducing the
         # engine's delta<tol stopping rule (see the generator docstring);
         # 24 iterations is ~2× margin over the observed trip counts
