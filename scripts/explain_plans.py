@@ -113,6 +113,63 @@ def main() -> int:
     assert "SinglePartition" not in plan, "dictionary collapsed to one partition"
     sections.append(("Dense vertex dictionary: range-partitioned two-pass", plan))
 
+    # 7. HITS superstep: both halves are merge SMJs against a persisted
+    # edge cache in the matching layout — the authority step joins the
+    # src-sorted cache, the hub step the dst-sorted cache; neither re-sorts
+    # the cached side
+    by_src = (
+        edges.select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
+        .repartition(8, "a_src")
+        .sortWithinPartitions("a_src", "a_dst")
+        .persist()
+    )
+    by_dst = (
+        edges.select(F.col("src").alias("h_src"), F.col("dst").alias("h_dst"))
+        .repartition(8, "h_dst")
+        .sortWithinPartitions("h_dst", "h_src")
+        .persist()
+    )
+    by_src.count(), by_dst.count()
+    scores = spark.range(10_000).select(
+        F.col("id"), F.lit(1e-4).alias("auth"), F.lit(1e-4).alias("hub")
+    )
+    a_raw = (
+        scores.join(by_src.hint("merge"), scores.id == F.col("a_src"))
+        .groupBy(F.col("a_dst").alias("id"))
+        .agg(F.sum("hub").alias("a_raw"))
+    )
+    h_raw = (
+        a_raw.join(by_dst.hint("merge"), a_raw.id == F.col("h_dst"))
+        .groupBy(F.col("h_src").alias("id"))
+        .agg(F.sum("a_raw").alias("h_raw"))
+    )
+    plan = grab(h_raw)
+    # formatted mode prints each node twice (tree + details), so counts
+    # are per-occurrence, not per-node
+    assert plan.count("SortMergeJoin") >= 2, "HITS halves are not both SMJ"
+    assert "BroadcastHashJoin" not in plan, "HITS superstep must not broadcast"
+    assert plan.count("InMemoryTableScan") >= 2, "HITS edge caches not reused"
+    assert plan.count("HashAggregate") >= 4, "HITS aggs not two-phase"
+    sections.append(
+        ("HITS superstep: dual-layout edge caches, SMJ both halves", plan)
+    )
+
+    # 8. k-core peel round: two-phase degree agg + two semi-joins, no
+    # broadcast of the (large, first rounds) survivor side forced — AQE
+    # picks the strategy from runtime sizes
+    from citation_graph_spark.edges import symmetrize
+
+    sym = symmetrize(edges).repartition(8, "src")
+    deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
+    survivors = deg.where(F.col("degree") >= 3).select(F.col("src").alias("id"))
+    peeled = sym.join(survivors, sym.src == survivors.id, "left_semi").join(
+        survivors, F.col("dst") == survivors.id, "left_semi"
+    )
+    plan = grab(peeled)
+    assert plan.count("LeftSemi") >= 2, "k-core peel not two semi-joins"
+    assert plan.count("HashAggregate") >= 2, "degree agg not two-phase"
+    sections.append(("k-core peel round: two-phase degree agg + semi-joins", plan))
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w", encoding="utf-8") as fh:
         fh.write(
