@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from citation_graph_spark.operators.hits import hits
     from citation_graph_spark.operators.kcore import k_core
     from citation_graph_spark.operators.label_propagation import label_propagation
+    from citation_graph_spark.operators.linkpred import link_prediction_scores
     from citation_graph_spark.operators.pagerank import (
         pagerank,
         personalized_pagerank,
@@ -459,6 +460,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixpoint; the oracle unrolls peel rounds with a fixpoint guard
         return k_core(_edges(spark, sf), k=4).vertices
 
+    def q_linkpred(spark, sf):
+        # neighborhood-overlap link prediction with the wedge-center skew
+        # cap engaged (the max_df analog for wedge joins): pairs sharing
+        # ≥2 common neighbours of degree ≤8, scored by common count,
+        # Jaccard (lower bound under the cap) and Adamic-Adar
+        res = link_prediction_scores(
+            _edges(spark, sf), min_common=2, max_center_degree=8
+        )
+        return res.scores.select(
+            "a",
+            "b",
+            "common",
+            F.round("jaccard", 9).alias("jaccard"),
+            F.round("adamic_adar", 9).alias("adamic_adar"),
+        )
+
     def q_connected_components(spark, sf):
         return connected_components(_edges(spark, sf)).labels
 
@@ -600,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5iter": q_ppr_5iter,
         "hits_5iter": q_hits_5iter,
         "kcore": q_kcore,
+        "linkpred": q_linkpred,
         "connected_components": q_connected_components,
         "cc_two_star": q_cc_two_star,
         "label_propagation": q_label_propagation,
@@ -1013,6 +1031,44 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _linkpred_sql(min_common: int, max_center_degree: int) -> str:
+    """Link-prediction scores (operators/linkpred.py) in plain SQL: the
+    same wedge join through capped centers, HAVING-count threshold,
+    NOT-EXISTS edge exclusion, and full-degree Jaccard denominator.
+    Integer/integer divisions are cast to DOUBLE identically on both
+    engines (exact for counts < 2⁵³); the Adamic-Adar float sum is
+    rounded to 9 decimals on both sides."""
+    return f"""{_SYM_VERTS_CTE},
+    deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+    cent AS MATERIALIZED (
+      SELECT s.src AS z, s.dst AS nbr, d.deg AS zdeg
+      FROM sym s JOIN deg d ON d.id = s.src
+      WHERE d.deg <= {max_center_degree}
+    ),
+    wed AS (
+      SELECT x.nbr AS a, y.nbr AS b, x.zdeg
+      FROM cent x JOIN cent y ON x.z = y.z AND x.nbr < y.nbr
+    ),
+    sc AS MATERIALIZED (
+      SELECT a, b, count(*) AS common,
+             sum(CAST(1.0 AS DOUBLE) / ln(CAST(zdeg AS DOUBLE))) AS aa
+      FROM wed GROUP BY a, b HAVING count(*) >= {min_common}
+    ),
+    cand AS (
+      SELECT sc.* FROM sc
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sym e WHERE e.src = sc.a AND e.dst = sc.b
+      )
+    )
+    SELECT c.a, c.b, c.common,
+           round(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common), 9)
+             AS jaccard,
+           round(c.aa, 9) AS adamic_adar
+    FROM cand c
+    JOIN deg da ON da.id = c.a
+    JOIN deg db ON db.id = c.b"""
+
+
 def _simhash_cte(store: str) -> str:
     """SimHash rebuilt from the materialized per-token-instance hash store:
     per-doc bit-majority sums over the 64 bits of each token hash, then the
@@ -1404,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": _ppr_sql(5),
         "hits_5iter": _hits_sql(5),
         "kcore": _kcore_sql(4, 10),
+        "linkpred": _linkpred_sql(2, 8),
         # the convergence-path cell: adaptive unroll reproducing the
         # engine's delta<tol stopping rule (see the generator docstring);
         # 24 iterations is ~2× margin over the observed trip counts

@@ -266,3 +266,32 @@ def kcore_oracle(edges, k):
             break
         alive -= drop
     return {v: len(nbrs[v] & alive) for v in alive}
+
+
+def linkpred_oracle(edges, min_common=1, max_center_degree=None):
+    """Link-prediction mirror of operators/linkpred.py over the
+    symmetrized deduped self-loop-free view. Returns
+    {(a, b): (common, jaccard, adamic_adar)} for non-adjacent pairs."""
+    import math
+
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    acc = {}
+    for z, ns in nbrs.items():
+        if max_center_degree is not None and deg[z] > max_center_degree:
+            continue
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                c, aa = acc.get((a, b), (0, 0.0))
+                acc[(a, b)] = (c + 1, aa + 1.0 / math.log(deg[z]))
+    out = {}
+    for (a, b), (c, aa) in acc.items():
+        if b in nbrs[a] or c < min_common:
+            continue
+        out[(a, b)] = (c, c / (deg[a] + deg[b] - c), aa)
+    return out
