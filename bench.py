@@ -126,9 +126,10 @@ def main() -> int:
             pg.symmetrized()
         shared["pg"] = pg
 
-    if only is None or only & {"pagerank", "cc", "lpa"}:
+    if only is None or only & {"pagerank", "cc", "lpa", "hits", "kcore"}:
         # bypass run()'s --only gating: the build is a prerequisite of
-        # whichever graph query was requested
+        # whichever graph query was requested (hits/kcore build their own
+        # layout caches from the shared edge table)
         t0 = time.time()
         bench_graph_build(
             need_pr=only is None or "pagerank" in only,
@@ -262,6 +263,52 @@ def main() -> int:
 
     if only is not None and "lpa" in only:
         timings["lpa"] = bench_lpa()
+
+    # --- hits / kcore (opt-in, same headline-comparability rationale) --------
+    def bench_hits():
+        from citation_graph_spark.operators.hits import hits
+
+        iters = int(os.environ.get("SPARK_GRAFT_BENCH_HITS_ITERS", "5"))
+        t0 = time.time()
+        res = hits(shared["edges"], tol=0.0, max_iter=iters)
+        res.scores.count()
+        dt = round(time.time() - t0, 3)
+        extras["hits_iters"] = res.iterations
+        # INPUT-|E| normalizer like cc/lpa (each HITS superstep streams the
+        # edge table twice — the constant divides out of efficiency ratios)
+        real_edges = extras["n_edges"]
+        iter_secs = sorted(
+            h["seconds"] for h in res.history if h.get("seconds")
+        )
+        if iter_secs:
+            extras["hits_iter_seconds_min"] = iter_secs[0]
+            extras["hits_peak_edges_per_sec"] = round(real_edges / iter_secs[0], 1)
+            extras["hits_iter_seconds_median"] = iter_secs[len(iter_secs) // 2]
+            extras["hits_steady_edges_per_sec"] = round(
+                real_edges / iter_secs[len(iter_secs) // 2], 1
+            )
+        return dt
+
+    if only is not None and "hits" in only:
+        timings["hits"] = bench_hits()
+
+    def bench_kcore():
+        from citation_graph_spark.operators.kcore import k_core
+
+        k = int(os.environ.get("SPARK_GRAFT_BENCH_KCORE_K", "8"))
+        t0 = time.time()
+        res = k_core(shared["edges"], k=k)
+        extras["kcore_vertices"] = res.vertices.count()
+        dt = round(time.time() - t0, 3)
+        extras["kcore_k"] = k
+        extras["kcore_iters"] = res.iterations
+        extras["kcore_round_seconds_all"] = [
+            h.get("seconds") for h in res.history if h["iteration"] > 0
+        ]
+        return dt
+
+    if only is not None and "kcore" in only:
+        timings["kcore"] = bench_kcore()
 
     if "pg" in shared:
         shared["pg"].unpersist()
