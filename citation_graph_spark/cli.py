@@ -10,8 +10,10 @@ corpus is already a pages table, so the same knobs drive a Spark job:
         [--checkpoint DIR] [--list-file OUT_DIR] [--algorithm bfs] \
         [--master local[32]]
 
-Algorithms: bfs (default — the reference's expand), pagerank, cc, lpa,
-triangles. BFS writes the reference's depth-sorted ``;``-CSV when
+Algorithms: bfs (default — the reference's expand), pagerank, ppr
+(personalized, seeded at ROOT_URL), cc, lpa, triangles, hits, kcore
+(``--k``), linkpred (``--min-common`` / ``--max-center-degree``).
+BFS writes the reference's depth-sorted ``;``-CSV when
 ``--list-file`` is given; rank/label algorithms write Parquet. Programmatic
 use (reference entry point 2, ``citation_graph.py:379-384``): call
 ``run(args_namespace)`` or the library API directly.
@@ -56,11 +58,24 @@ def get_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--output", default=None, help="parquet output dir (rank/label algos)")
     ap.add_argument(
         "--algorithm",
-        choices=["bfs", "pagerank", "cc", "lpa", "triangles"],
+        choices=[
+            "bfs", "pagerank", "ppr", "cc", "lpa", "triangles",
+            "hits", "kcore", "linkpred",
+        ],
         default="bfs",
     )
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--k", type=int, default=2, help="k for --algorithm kcore")
+    ap.add_argument(
+        "--min-common", type=int, default=2, help="linkpred: min common neighbours"
+    )
+    ap.add_argument(
+        "--max-center-degree",
+        type=int,
+        default=None,
+        help="linkpred: wedge-center degree cap (skew guard)",
+    )
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     return ap
 
@@ -160,6 +175,55 @@ def run(args: argparse.Namespace) -> int:
             )
             out = res.labels
             print(f"lpa: {res.iterations} iterations, converged={res.converged}")
+        elif args.algorithm == "ppr":
+            if not args.root:
+                print("error: ppr needs a root url (the seed set)", file=sys.stderr)
+                return 2
+            from citation_graph_spark.operators.pagerank import personalized_pagerank
+
+            sources = spark.createDataFrame([(args.root,)], "url string").select(
+                F.xxhash64("url").alias("id")
+            )
+            res = personalized_pagerank(
+                enc,
+                sources=sources,
+                tol=args.tol,
+                max_iter=args.max_iter,
+                checkpoint_dir=args.checkpoint,
+            )
+            out = res.ranks
+            print(f"ppr: {res.iterations} iterations, delta {res.delta:.3e}")
+        elif args.algorithm == "hits":
+            from citation_graph_spark.operators.hits import hits
+
+            res = hits(
+                enc, tol=args.tol, max_iter=args.max_iter,
+                checkpoint_dir=args.checkpoint,
+            )
+            out = res.scores
+            print(f"hits: {res.iterations} iterations, converged={res.converged}")
+        elif args.algorithm == "kcore":
+            from citation_graph_spark.operators.kcore import k_core
+
+            res = k_core(enc, k=args.k, max_iter=args.max_iter)
+            out = res.vertices
+            print(
+                f"kcore: k={args.k}, {res.iterations} rounds, "
+                f"{out.count()} core vertices"
+            )
+        elif args.algorithm == "linkpred":
+            from citation_graph_spark.operators.linkpred import link_prediction_scores
+
+            res = link_prediction_scores(
+                enc,
+                min_common=args.min_common,
+                max_center_degree=args.max_center_degree,
+            )
+            out = res.scores
+            print(
+                f"linkpred: {out.count()} candidate pairs "
+                f"({res.dropped_centers} centers capped)"
+            )
         else:
             from citation_graph_spark.operators.triangles import triangle_counts_per_vertex
 

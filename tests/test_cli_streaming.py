@@ -162,3 +162,48 @@ def test_crawl_stats_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM crawl_stats").collect()
     assert sum(r["n_pages"] for r in rows) == 80
     assert {r["lang"] for r in rows} <= {"en", "de", "fi", "fr"}
+
+
+def test_cli_new_algorithms(spark, tmp_path):
+    """CLI drive of the round-5 algorithms: ppr (seeded at ROOT_URL),
+    hits, kcore and linkpred all run end-to-end from the pages table and
+    write parquet with the documented schemas."""
+    import pyspark.sql.functions as F
+
+    from citation_graph_spark.cli import main
+
+    path = _write_pages(spark, tmp_path, n=120)
+
+    out = str(tmp_path / "ppr")
+    rc = main(
+        root=datagen.page_url(0), pages=path, algorithm="ppr",
+        output=out, max_iter=30, master="local[8]",
+    )
+    assert rc == 0
+    ranks = spark.read.parquet(out)
+    assert ranks.columns == ["id", "rank"]
+    assert abs(ranks.agg(F.sum("rank")).first()[0] - 1.0) < 1e-6
+
+    out = str(tmp_path / "hits")
+    rc = main(pages=path, algorithm="hits", output=out, max_iter=20, master="local[8]")
+    assert rc == 0
+    scores = spark.read.parquet(out)
+    assert scores.columns == ["id", "auth", "hub"]
+    assert abs(scores.agg(F.sum("auth")).first()[0] - 1.0) < 1e-9
+
+    out = str(tmp_path / "kcore")
+    rc = main(pages=path, algorithm="kcore", k=2, output=out, master="local[8]")
+    assert rc == 0
+    core = spark.read.parquet(out)
+    assert core.columns == ["id", "degree"]
+    assert core.where("degree < 2").count() == 0
+
+    out = str(tmp_path / "linkpred")
+    rc = main(
+        pages=path, algorithm="linkpred", min_common=1,
+        max_center_degree=50, output=out, master="local[8]",
+    )
+    assert rc == 0
+    lp = spark.read.parquet(out)
+    assert lp.columns == ["a", "b", "common", "jaccard", "adamic_adar"]
+    assert lp.where("a >= b").count() == 0
