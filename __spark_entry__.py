@@ -437,6 +437,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_token_bins_scalable(_t(spark, sf, "documents"), budget_tokens=1000)
 
+    def q_pagerank_weighted_5iter(spark, sf):
+        # weighted PageRank (weight_col): per-src weight-normalized
+        # contributions, l_quantity as the edge weight; 5 fixed iterations
+        edges = (
+            _t(spark, sf, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+                F.col("l_linenumber").alias("pos"),
+                F.col("l_quantity").cast("double").alias("weight"),
+            )
+            .cache()
+        )
+        res = pagerank(edges, tol=0.0, max_iter=5, weight_col="weight")
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    def q_lcc(spark, sf):
+        # local clustering coefficient: triangles + degree composition
+        from citation_graph_spark.operators.triangles import (
+            local_clustering_coefficient,
+        )
+
+        return local_clustering_coefficient(
+            dedup_edges(_edges(spark, sf))
+        ).select("id", "triangles", "degree", F.round("lcc", 9).alias("lcc"))
+
     def q_ppr_5iter(spark, sf):
         # personalized PageRank, 5 fixed iterations (tol=0 → SQL-expressible);
         # the seed set is deterministic in both engines: vertices ≡ 0 (mod 97)
@@ -615,9 +641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_5iter": q_pagerank_5iter,
         "ppr_5iter": q_ppr_5iter,
+        "pagerank_weighted_5iter": q_pagerank_weighted_5iter,
         "hits_5iter": q_hits_5iter,
         "kcore": q_kcore,
         "linkpred": q_linkpred,
+        "lcc": q_lcc,
         "connected_components": q_connected_components,
         "cc_two_star": q_cc_two_star,
         "label_propagation": q_label_propagation,
@@ -884,6 +912,56 @@ def _pagerank_adaptive_sql(
     UNION ALL
     SELECT CAST(-987654321 AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS rank
     WHERE (SELECT k FROM conv) IS NULL""")
+    return "".join(parts)
+
+
+def _pagerank_weighted_sql(iters: int, alpha: float = 0.85) -> str:
+    """Weighted PageRank unrolled (operators/pagerank.py ``weight_col``):
+    identical to ``_pagerank_sql`` except the static w table normalizes
+    by per-src TOTAL WEIGHT (l_quantity) instead of out-degree. Same
+    float-repr constants and round-to-9 discipline."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    oma = f"CAST({1.0 - alpha!r} AS DOUBLE)"
+    parts = [f"""WITH edges AS (
+      SELECT l_orderkey AS src, l_partkey AS dst,
+             CAST(l_quantity AS DOUBLE) AS weight
+      FROM lineitem
+    ),
+    verts AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+    deg AS (SELECT src, sum(weight) AS tot FROM edges GROUP BY src),
+    w AS MATERIALIZED (
+      SELECT e.src, e.dst, e.weight / d.tot AS w
+      FROM edges e JOIN deg d ON d.src = e.src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT v.id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank,
+             NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = v.id) AS dang
+      FROM verts v
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT COALESCE(sum(CASE WHEN dang THEN rank END), CAST(0 AS DOUBLE)) AS dm
+      FROM r{i - 1}
+    ),
+    c{i} AS (
+      SELECT w.dst AS id, sum(r.rank * w.w) AS contrib
+      FROM r{i - 1} r JOIN w ON w.src = r.id
+      GROUP BY w.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT v.id,
+             ({oma} / (SELECT n FROM nn)
+              + {a} * (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+             + {a} * COALESCE(c.contrib, CAST(0 AS DOUBLE)) AS rank,
+             v.dang
+      FROM r{i - 1} v LEFT JOIN c{i} c ON c.id = v.id
+    )""")
+    parts.append(f"\n    SELECT id, round(rank, 9) AS rank FROM r{iters}")
     return "".join(parts)
 
 
@@ -1458,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lpa_sql(5),
         "pagerank_5iter": _pagerank_sql(5),
         "ppr_5iter": _ppr_sql(5),
+        "pagerank_weighted_5iter": _pagerank_weighted_sql(5),
         "hits_5iter": _hits_sql(5),
         "kcore": _kcore_sql(4, 10),
         "linkpred": _linkpred_sql(2, 8),
@@ -1646,6 +1725,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v.id, CAST(COALESCE(cnt.triangles, 0) AS BIGINT) AS triangles
             FROM verts v LEFT JOIN cnt ON cnt.id = v.id""",
+        # Local clustering coefficient: the triangles chain above plus the
+        # undirected-degree join — lcc = 2T/(d(d−1)), 0 for deg < 2
+        # (operators/triangles.py::local_clustering_coefficient).
+        "lcc": f"""{_EDGES_CTE},
+            d AS (
+              SELECT src, dst FROM (
+                SELECT src, dst FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM edges
+              ) WHERE src <> dst GROUP BY src, dst
+            ),
+            deg AS (SELECT src AS id, count(*) AS deg FROM d GROUP BY src),
+            o AS (
+              SELECT d.src, d.dst
+              FROM d JOIN deg s ON s.id = d.src JOIN deg t ON t.id = d.dst
+              WHERE s.deg < t.deg OR (s.deg = t.deg AND d.src < d.dst)
+            ),
+            tri AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM o e1
+              JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+              JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            corners AS (
+              SELECT a AS id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            ),
+            cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+            verts AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+            )
+            SELECT v.id,
+                   CAST(COALESCE(cnt.triangles, 0) AS BIGINT) AS triangles,
+                   CAST(COALESCE(g.deg, 0) AS BIGINT) AS degree,
+                   CASE WHEN COALESCE(g.deg, 0) >= 2
+                        THEN round(CAST(2.0 AS DOUBLE) * COALESCE(cnt.triangles, 0)
+                                   / CAST(g.deg * (g.deg - 1) AS DOUBLE), 9)
+                        ELSE CAST(0 AS DOUBLE) END AS lcc
+            FROM verts v
+            LEFT JOIN cnt ON cnt.id = v.id
+            LEFT JOIN deg g ON g.id = v.id""",
         # BFS from min(src) to depth 3 with the engine's deterministic
         # min-parent tie-break (operators/bfs.py): level-synchronous frontier
         # as a bounded recursive CTE; depth = shortest distance; parent =

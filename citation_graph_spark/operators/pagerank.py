@@ -61,8 +61,16 @@ def pagerank(
     resume: bool = True,
     num_partitions: int | None = None,
     prepared: PreparedGraph | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank on an ``(src, dst, ...)`` edge DataFrame.
+
+    ``weight_col``: optional strictly-positive edge-weight column —
+    contributions become r(u)·weight(u,v)/Σ_w(u) instead of
+    r(u)/outdeg(u) (weighted PageRank; identical superstep plan, only
+    the per-edge ``w`` in the static cache changes). Ignored when
+    ``prepared`` is passed (the PreparedGraph's own ``weight_col``
+    governs, since its cache is already built).
 
     ``salt_factor``: 0/1 = unsalted; N>1 = split each src's edges over N
     salted join partitions (hub skew the cached edge side has, which AQE
@@ -84,9 +92,10 @@ def pagerank(
     if prepared is None:
         if edges is None:
             raise ValueError("pass either edges or prepared")
-        prepared = PreparedGraph(edges, num_partitions)
+        prepared = PreparedGraph(edges, num_partitions, weight_col=weight_col)
     else:
         edges = prepared.edges
+        weight_col = prepared.weight_col
     spark = edges.sparkSession
     if salt_factor == "auto":
         salt_factor = _resolve_auto_salt(
@@ -105,6 +114,7 @@ def pagerank(
                 "tol": tol,
                 "max_iter": max_iter,
                 "salt_factor": salt_factor,
+                **({"weight_col": weight_col} if weight_col else {}),
             },
         )
     ctx = SuperstepContext(checkpoint=ckpt, durable_every=durable_every)

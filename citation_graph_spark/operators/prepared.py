@@ -61,8 +61,16 @@ class PreparedGraph:
         edges: DataFrame,
         num_partitions: int | None = None,
         pre_partitioned: bool = False,
+        weight_col: str | None = None,
     ):
+        """``weight_col``: optional positive edge-weight column; when set,
+        ``weighted_edges`` normalizes per-src by total WEIGHT instead of
+        out-degree (w_e = weight_e / Σ_{e' from src} weight_{e'}) — the
+        weighted-PageRank cache. Must be strictly positive (a src whose
+        weights sum to 0 would divide by zero; not validated here — the
+        scan-side filter belongs to the caller's ingest contract)."""
         self.edges = edges
+        self.weight_col = weight_col
         spark = edges.sparkSession
         self.num_partitions = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -202,12 +210,30 @@ class PreparedGraph:
         re-sorts). One entry per salt_factor (the salted layout differs)."""
         key = salt_factor if salt_factor > 1 else 0
         if key not in self._weighted:
-            deg = out_degrees(self.edges)
-            w_edges = (
-                self.edges.select("src", "dst")
-                .join(deg, "src")
-                .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
-            )
+            if self.weight_col is not None:
+                tot = self.edges.groupBy("src").agg(
+                    F.sum(F.col(self.weight_col).cast("double")).alias("_tot_w")
+                )
+                w_edges = (
+                    self.edges.select("src", "dst", self.weight_col)
+                    .join(tot, "src")
+                    .select(
+                        "src",
+                        "dst",
+                        (
+                            F.col(self.weight_col).cast("double") / F.col("_tot_w")
+                        ).alias("w"),
+                    )
+                )
+            else:
+                deg = out_degrees(self.edges)
+                w_edges = (
+                    self.edges.select("src", "dst")
+                    .join(deg, "src")
+                    .select(
+                        "src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w")
+                    )
+                )
             if key > 1:
                 # hub-src splitting: deterministic salt from dst; the rank
                 # side replicates per salt value, so one hot src's edges

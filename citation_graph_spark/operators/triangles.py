@@ -87,6 +87,38 @@ def triangle_count(edges: DataFrame) -> int:
         e.unpersist()
 
 
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, triangles, degree, lcc) — local clustering coefficient
+    ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` over the undirected simple
+    graph (deg = distinct neighbours); vertices with deg < 2 get 0.0.
+
+    Pure composition: the per-vertex triangle counts above plus one
+    degree aggregation over the symmetrized view — no new join shapes,
+    so the scale properties are exactly those of ``triangles`` (degree
+    orientation bounds the wedge join) and the degree agg (map-side
+    partials)."""
+    tri = triangle_counts_per_vertex(edges)
+    deg = (
+        symmetrize(edges)
+        .groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .select(F.col("src").alias("id"), "degree")
+    )
+    return tri.join(deg, "id", "left").select(
+        "id",
+        "triangles",
+        F.coalesce("degree", F.lit(0)).alias("degree"),
+        F.when(
+            F.coalesce("degree", F.lit(0)) >= 2,
+            F.lit(2.0)
+            * F.col("triangles")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("lcc"),
+    )
+
+
 def triangle_counts_per_vertex(edges: DataFrame) -> DataFrame:
     """(id, triangles) — how many triangles each vertex participates in.
     Vertices in no triangle get 0.

@@ -295,3 +295,55 @@ def linkpred_oracle(edges, min_common=1, max_center_degree=None):
             continue
         out[(a, b)] = (c, c / (deg[a] + deg[b] - c), aa)
     return out
+
+
+def weighted_pagerank_oracle(edges, alpha=0.85, tol=1e-6, max_iter=100):
+    """Weighted PageRank mirror (operators/pagerank.py ``weight_col``):
+    ``edges`` is (src, dst, weight) triples; contributions are
+    r(u)·w/Σ_w(u), dangling = src with no out-edges. Returns
+    (ranks dict, iterations)."""
+    verts = set()
+    totw = defaultdict(float)
+    for s, d, w in edges:
+        verts.add(s)
+        verts.add(d)
+        totw[s] += w
+    n = len(verts)
+    if n == 0:
+        return {}, 0
+    ranks = {v: 1.0 / n for v in verts}
+    it = 0
+    for it in range(1, max_iter + 1):
+        dm = sum(r for v, r in ranks.items() if totw[v] == 0)
+        contrib = defaultdict(float)
+        for s, d, w in edges:
+            contrib[d] += ranks[s] * w / totw[s]
+        base = (1.0 - alpha) / n + alpha * dm / n
+        new_ranks = {v: base + alpha * contrib[v] for v in verts}
+        delta = sum(abs(new_ranks[v] - ranks[v]) for v in verts)
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks, it
+
+
+def lcc_oracle(edges):
+    """Local clustering coefficient mirror (operators/triangles.py
+    ``local_clustering_coefficient``). Returns
+    {id: (triangles, degree, lcc)} over ALL vertices."""
+    nbrs = defaultdict(set)
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    out = {}
+    for v in verts:
+        ns = nbrs[v]
+        d = len(ns)
+        t = sum(1 for u in ns for w in ns if u < w and w in nbrs[u]) if d >= 2 else 0
+        lcc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        out[v] = (t, d, lcc)
+    return out

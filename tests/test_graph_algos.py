@@ -88,3 +88,25 @@ def test_triangles_per_vertex_clique(spark):
     per_v = {r["id"]: r["triangles"] for r in triangle_counts_per_vertex(edges).collect()}
     # every vertex of a K4 is in C(3,2)=3 triangles
     assert per_v == {v: 3 for v in range(8)}
+
+
+def test_local_clustering_coefficient(spark):
+    import math
+
+    from citation_graph_spark.operators.triangles import (
+        local_clustering_coefficient,
+    )
+    from tests.oracles import lcc_oracle
+
+    edges = datagen.zipf_edges(spark, n_vertices=120, n_edges=800, seed=23).cache()
+    elist = [(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()]
+    got = {
+        r["id"]: (r["triangles"], r["degree"], r["lcc"])
+        for r in local_clustering_coefficient(edges).collect()
+    }
+    exp = lcc_oracle(elist)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v][0] == exp[v][0], v
+        assert got[v][1] == exp[v][1], v
+        assert math.isclose(got[v][2], exp[v][2], rel_tol=1e-12), v

@@ -367,3 +367,35 @@ def test_ppr_checkpoint_resume_parity(spark, tmp_path):
     exp_other, _ = ppr_oracle(_edge_list(edges), [1, 3], tol=0.0, max_iter=6)
     for v in exp_other:
         assert math.isclose(other[v], exp_other[v], abs_tol=1e-9), v
+
+
+def test_weighted_pagerank_matches_oracle(spark):
+    """weight_col: per-src weight-normalized contributions; uniform
+    weights must reduce to the unweighted scores."""
+    from pyspark.sql import functions as F
+
+    from tests.oracles import weighted_pagerank_oracle
+
+    edges = (
+        datagen.zipf_edges(spark, n_vertices=120, n_edges=800, seed=41)
+        .withColumn("weight", (F.pmod(F.xxhash64("src", "dst", "pos"), F.lit(5)) + 1).cast("double"))
+        .cache()
+    )
+    elist = [
+        (r["src"], r["dst"], r["weight"])
+        for r in edges.select("src", "dst", "weight").collect()
+    ]
+    res = pagerank(edges, tol=1e-8, weight_col="weight")
+    got = _spark_ranks(res)
+    exp, _ = weighted_pagerank_oracle(elist, tol=1e-8)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert math.isclose(got[v], exp[v], abs_tol=1e-6), v
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+    # uniform weights == unweighted
+    uni = edges.withColumn("weight", F.lit(2.5))
+    a = _spark_ranks(pagerank(uni, tol=1e-8, weight_col="weight"))
+    b = _spark_ranks(pagerank(edges, tol=1e-8))
+    for v in a:
+        assert math.isclose(a[v], b[v], abs_tol=1e-9), v
