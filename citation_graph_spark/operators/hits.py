@@ -24,8 +24,11 @@ Scale shape per superstep (what runs on 1000 executors):
   ``groupBy(src).sum()``) — each join is a merge-hinted SMJ where ONLY
   the small score frame shuffles, mirroring the PageRank superstep
   (operators/pagerank.py); both aggregations get map-side partials.
-- one driver scalar action per superstep reads both normalization sums
-  AND both L1 deltas from the already-materialized state — no extra pass.
+- two driver scalar actions per superstep: the first materializes the
+  truncated raw state and reads both normalization sums (needed before
+  the normalized vectors exist), the second reads the combined L1 delta
+  off the already-cached blocks — a cheap re-aggregation, not a
+  recompute of the joins.
 - lineage truncated per superstep; durable Parquet checkpoints + manifest
   via the shared CheckpointManager, resume exact (normalization sums are
   recomputable from the state itself, so no extra metrics are needed).
