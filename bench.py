@@ -55,8 +55,11 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
     sf = parse_sf(sf_dir)
-    spark = get_spark(app_name="cgs-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark(
+        app_name="cgs-bench", master=f"local[{cpus}]", shuffle_partitions=shuffle
+    )
 
     from citation_graph_spark import datagen
     from citation_graph_spark.edges import build_edges
