@@ -508,6 +508,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cc_two_star(spark, sf):
         return connected_components(_edges(spark, sf), algorithm="two_star").labels
 
+    def q_scc(spark, sf):
+        # directed mutual reachability (trim + coloring supersteps); the
+        # oracle trims the graph to its cycle core with unrolled passes,
+        # then takes the recursive-CTE transitive closure of the core and
+        # intersects it with its transpose — trimming cannot break a cycle,
+        # so core mutual-reachability equals full-graph mutual-reachability
+        from citation_graph_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        return strongly_connected_components(_edges(spark, sf)).labels
+
     def q_label_propagation(spark, sf):
         return label_propagation(_edges(spark, sf), max_iter=5).labels
 
@@ -648,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc": q_lcc,
         "connected_components": q_connected_components,
         "cc_two_star": q_cc_two_star,
+        "scc": q_scc,
         "label_propagation": q_label_propagation,
         "triangles": q_triangles,
         "minhash_lsh": q_minhash_lsh,
@@ -1533,6 +1546,33 @@ def oracle_sql() -> dict[str, str]:
         # unrolled iterative oracles (see the generator docstrings)
         "connected_components": _cc_hashmin_sql(16),
         "cc_two_star": _cc_hashmin_sql(16),
+        # directed SCC: trim-to-core (3 unrolled passes suffice for the
+        # lineitem graph: src-space collapses into the dst-space core in
+        # one pass), recursive-CTE closure of the core, intersect with its
+        # transpose, label = min mutual partner (self included)
+        "scc": """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+          FROM lineitem WHERE l_orderkey <> l_partkey),
+        t1 AS (SELECT * FROM e
+               WHERE src IN (SELECT dst FROM e) AND dst IN (SELECT src FROM e)),
+        t2 AS (SELECT * FROM t1
+               WHERE src IN (SELECT dst FROM t1) AND dst IN (SELECT src FROM t1)),
+        t3 AS (SELECT * FROM t2
+               WHERE src IN (SELECT dst FROM t2) AND dst IN (SELECT src FROM t2)),
+        reach(src, dst) AS (
+          SELECT src, dst FROM t3
+          UNION
+          SELECT r.src, t3.dst FROM reach r JOIN t3 ON r.dst = t3.src),
+        mutual AS (
+          SELECT a.src AS u, a.dst AS v
+          FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        verts AS (SELECT l_orderkey AS id FROM lineitem
+                  UNION SELECT l_partkey FROM lineitem)
+        SELECT id, LEAST(id, COALESCE(MIN(v), id)) AS scc
+        FROM verts LEFT JOIN mutual ON verts.id = mutual.u
+        GROUP BY id
+        """,
         "label_propagation": _lpa_sql(5),
         "pagerank_5iter": _pagerank_sql(5),
         "ppr_5iter": _ppr_sql(5),

@@ -347,3 +347,64 @@ def lcc_oracle(edges):
         lcc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
         out[v] = (t, d, lcc)
     return out
+
+
+def scc_oracle(edges):
+    """Directed SCC via iterative Tarjan; label = min vertex id in the SCC.
+
+    Iterative (explicit stack) so 10^4-vertex fixture graphs don't hit the
+    recursion limit."""
+    adj = defaultdict(list)
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+    verts = _vertices(edges)
+
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    label = {}
+    counter = [0]
+
+    for root in verts:
+        if root in index:
+            continue
+        # work stack: (vertex, iterator position into adj[v])
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            neighbors = adj[v]
+            for i in range(pi, len(neighbors)):
+                w = neighbors[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                parent, _ = work[-1]
+                low[parent] = min(low[parent], low[v])
+    return label
