@@ -523,6 +523,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_label_propagation(spark, sf):
         return label_propagation(_edges(spark, sf), max_iter=5).labels
 
+    def q_neighborhood_exact(spark, sf):
+        # exact NF(d): distinct-pairs frontier expansion — the declared
+        # small-scale baseline twin of hyperanf (see the module docstring)
+        from citation_graph_spark.operators.neighborhood import (
+            neighborhood_function_exact,
+        )
+
+        return neighborhood_function_exact(_edges(spark, sf), max_d=3)
+
+    def q_hyperanf(spark, sf):
+        # HyperANF register propagation, compared on the per-vertex INTEGER
+        # ρ-sums (bit-exact, no float summation order in the cell); the d=0
+        # registers go to the sidecar and the oracle replays the bit_or
+        # supersteps from the store — same split as the MinHash cells
+        from citation_graph_spark.operators.neighborhood import hyperanf
+
+        return hyperanf(
+            _edges(spark, sf),
+            max_d=3,
+            k=8,
+            registers_out=f"{_SIDECAR}/hyperanf_regs",
+        ).per_vertex
+
     def q_triangles(spark, sf):
         return triangle_counts_per_vertex(dedup_edges(_edges(spark, sf)))
 
@@ -662,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_two_star": q_cc_two_star,
         "scc": q_scc,
         "label_propagation": q_label_propagation,
+        "neighborhood_exact": q_neighborhood_exact,
+        "hyperanf": q_hyperanf,
         "triangles": q_triangles,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_capped": q_minhash_lsh_capped,
@@ -722,6 +747,42 @@ def _hashmin_rounds(rounds: int) -> str:
       ) m ON m.id = v.id
     )""")
     return "".join(parts)
+
+
+def _hyperanf_sql(k: int = 8, max_d: int = 3) -> str:
+    """Replays the HyperANF ``bit_or`` supersteps from the stored d=0
+    registers (the sidecar written by ``q_hyperanf``) and emits the
+    per-vertex integer ρ-sums per distance — everything downstream of the
+    xxhash64 register seeding is plain SQL (the same split as the
+    MinHash/SimHash cells). No fixpoint guard: the iteration count is
+    fixed by construction, not a convergence unroll."""
+    ms = [f"m{i}" for i in range(k)]
+    lines = [
+        "WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst "
+        "FROM lineitem WHERE l_orderkey <> l_partkey),",
+        f"r0 AS (SELECT * FROM read_parquet('{_SIDECAR}/hyperanf_regs/*.parquet')),",
+    ]
+    for d in range(1, max_d + 1):
+        bors = ", ".join(f"bit_or(r.{m}) AS b_{m}" for m in ms)
+        lines.append(
+            f"n{d} AS (SELECT e.src AS id, {bors} FROM e "
+            f"JOIN r{d - 1} r ON e.dst = r.id GROUP BY e.src),"
+        )
+        cols = ", ".join(
+            f"(r.{m} | COALESCE(n{d}.b_{m}, CAST(0 AS BIGINT))) AS {m}"
+            for m in ms
+        )
+        lines.append(
+            f"r{d} AS MATERIALIZED (SELECT r.id, {cols} FROM r{d - 1} r "
+            f"LEFT JOIN n{d} ON r.id = n{d}.id),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    rho = " + ".join(f"CAST(log2((~{m}) & ({m} + 1)) AS INT)" for m in ms)
+    selects = [
+        f"SELECT id, {d} AS d, {rho} AS rho_sum FROM r{d}"
+        for d in range(1, max_d + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _cc_hashmin_sql(rounds: int) -> str:
@@ -1574,6 +1635,25 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY id
         """,
         "label_propagation": _lpa_sql(5),
+        # exact neighborhood function: unrolled distinct-pairs expansion
+        # (fixed depth — no fixpoint guard needed)
+        "neighborhood_exact": """
+        WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+                   FROM lineitem WHERE l_orderkey <> l_partkey),
+        verts AS (SELECT l_orderkey AS id FROM lineitem
+                  UNION SELECT l_partkey FROM lineitem),
+        r0 AS (SELECT id AS u, id AS v FROM verts),
+        r1 AS (SELECT u, v FROM r0
+               UNION SELECT r0.u, e.dst FROM r0 JOIN e ON r0.v = e.src),
+        r2 AS (SELECT u, v FROM r1
+               UNION SELECT r1.u, e.dst FROM r1 JOIN e ON r1.v = e.src),
+        r3 AS (SELECT u, v FROM r2
+               UNION SELECT r2.u, e.dst FROM r2 JOIN e ON r2.v = e.src)
+        SELECT 1 AS d, COUNT(*) AS pairs FROM r1
+        UNION ALL SELECT 2 AS d, COUNT(*) AS pairs FROM r2
+        UNION ALL SELECT 3 AS d, COUNT(*) AS pairs FROM r3
+        """,
+        "hyperanf": _hyperanf_sql(8, 3),
         "pagerank_5iter": _pagerank_sql(5),
         "ppr_5iter": _ppr_sql(5),
         "pagerank_weighted_5iter": _pagerank_weighted_sql(5),

@@ -1,0 +1,134 @@
+"""Neighborhood function: exact twin vs BFS oracle; HyperANF sketches vs
+an exact python replay of the register propagation and vs exact counts."""
+
+import collections
+
+import pytest
+
+from citation_graph_spark import datagen
+from citation_graph_spark.datagen import _edges_df
+from citation_graph_spark.operators.neighborhood import (
+    estimate_from_rho_sum,
+    hyperanf,
+    neighborhood_function_exact,
+)
+
+
+def _edge_list(df):
+    return [(r["src"], r["dst"]) for r in df.select("src", "dst").collect()]
+
+
+def nf_exact_oracle(edges, max_d):
+    """Exact NF via per-vertex BFS (self-pairs included)."""
+    adj = collections.defaultdict(set)
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            adj[s].add(d)
+    out = {}
+    totals = collections.Counter()
+    for v in verts:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier and d < max_d:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for dd in range(1, max_d + 1):
+            totals[dd] += sum(1 for x in dist.values() if x <= dd)
+    return {d: totals[d] for d in range(1, max_d + 1)}
+
+
+def test_exact_nf_cycle(spark):
+    edges = _edges_df(spark, [(i, (i + 1) % 10) for i in range(10)])
+    got = {r["d"]: r["pairs"] for r in neighborhood_function_exact(edges, 3).collect()}
+    assert got == {1: 20, 2: 30, 3: 40}
+
+
+def test_exact_nf_matches_bfs_oracle(spark):
+    edges = datagen.zipf_edges(spark, n_vertices=200, n_edges=600, seed=3).cache()
+    el = _edge_list(edges)
+    exp = nf_exact_oracle(el, 4)
+    got = {r["d"]: r["pairs"] for r in neighborhood_function_exact(edges, 4).collect()}
+    assert got == exp
+
+
+def test_hyperanf_propagation_matches_store_replay(spark, tmp_path):
+    """The register OR-propagation must be bit-exact: replay it in python
+    from the materialized d=0 store and compare every (id, d, rho_sum)."""
+    import pyarrow.parquet as pq
+
+    edges = datagen.zipf_edges(spark, n_vertices=150, n_edges=450, seed=9).cache()
+    store = str(tmp_path / "regs")
+    k, max_d = 8, 3
+    res = hyperanf(edges, max_d=max_d, k=k, registers_out=store)
+
+    tbl = pq.read_table(store).to_pydict()
+    regs = {
+        tbl["id"][j]: [tbl[f"m{i}"][j] for i in range(k)]
+        for j in range(len(tbl["id"]))
+    }
+    adj = collections.defaultdict(set)  # v -> successors
+    for s, d in _edge_list(edges):
+        if s != d:
+            adj[s].add(d)
+
+    def rho(m):
+        r = 0
+        while m & (1 << r):
+            r += 1
+        return r
+
+    got = {
+        (r["id"], r["d"]): r["rho_sum"] for r in res.per_vertex.collect()
+    }
+    cur = regs
+    for d in range(1, max_d + 1):
+        nxt = {}
+        for v, ms in cur.items():
+            acc = list(ms)
+            for u in adj[v]:
+                for i in range(k):
+                    acc[i] |= cur[u][i]
+            nxt[v] = acc
+        cur = nxt
+        for v, ms in cur.items():
+            assert got[(v, d)] == sum(rho(m) for m in ms), (v, d)
+
+
+def test_hyperanf_estimate_within_tolerance(spark):
+    # moderately sized balls (hundreds) where FM small-count bias fades;
+    # k=64 → ~12% typical error, assert a generous 30%
+    edges = datagen.zipf_edges(spark, n_vertices=300, n_edges=1200, seed=5).cache()
+    exact = nf_exact_oracle(_edge_list(edges), 4)
+    res = hyperanf(edges, max_d=4, k=64)
+    assert [d for d, _ in res.nf] == [1, 2, 3, 4]
+    for d, est in res.nf:
+        assert est == pytest.approx(exact[d], rel=0.30), (d, est, exact[d])
+    # estimates are monotone in d by construction (registers only gain bits)
+    vals = [v for _, v in res.nf]
+    assert vals == sorted(vals)
+
+
+def test_hyperanf_deterministic_across_partitionings(spark):
+    edges = datagen.zipf_edges(spark, n_vertices=100, n_edges=300, seed=2).cache()
+    a = hyperanf(edges, max_d=2, k=8, num_partitions=2)
+    b = hyperanf(edges.repartition(7), max_d=2, k=8, num_partitions=5)
+    rows_a = sorted(map(tuple, a.per_vertex.collect()))
+    rows_b = sorted(map(tuple, b.per_vertex.collect()))
+    assert rows_a == rows_b
+    assert a.nf == b.nf
+
+
+def test_estimate_from_rho_sum_roundtrip():
+    assert estimate_from_rho_sum(0, 8) == pytest.approx(1 / 0.77351)
+    # doubling the mean rho doubles the estimate exponent
+    assert estimate_from_rho_sum(16, 8) == pytest.approx(4 / 0.77351)
