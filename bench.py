@@ -78,6 +78,23 @@ def main() -> int:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    def run_trials(name, fn):
+        """Best-of-N interleaved trials for SINGLE-PASS stages (VERDICT r04
+        #2, extended r05: the r5 preview run showed the same interference
+        window poisoning graph_build 15.7→71.3 s while best-of-3 pagerank
+        absorbed a 75.8 s first trial). fn must be re-runnable (it
+        releases/rebuilds its own state); every trial wall is disclosed."""
+        if only is not None and name not in only:
+            return
+        n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+        walls = []
+        for _ in range(max(1, n_trials)):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 3))
+        extras[f"{name}_trial_seconds_all"] = walls
+        timings[name] = min(walls)
+
     # --- extract: ingest path ------------------------------------------------
     n_pages = max(2000, int(sf * 200_000))
 
@@ -93,7 +110,7 @@ def main() -> int:
         extras["extract_pages"] = n_pages
         extras["extract_malformed_pages"] = obs.get["malformed_pages"]
 
-    run("extract", bench_extract)
+    run_trials("extract", bench_extract)
 
     # --- pagerank: the north-rule workload ----------------------------------
     # sized so per-core work dominates fixed per-superstep costs (sf0.1 →
@@ -118,6 +135,11 @@ def main() -> int:
     def bench_graph_build(need_pr: bool, need_cc: bool):
         from citation_graph_spark.operators.prepared import PreparedGraph
 
+        # re-runnable for best-of-N: release the previous trial's caches
+        if "pg" in shared:
+            shared["pg"].unpersist()
+        if "edges" in shared:
+            shared["edges"].unpersist()
         edges = datagen.zipf_edges(spark, n_vertices, n_edges, seed=42).persist()
         extras["n_edges"] = edges.count()
         shared["edges"] = edges
@@ -133,13 +155,19 @@ def main() -> int:
         # bypass run()'s --only gating: the build is a prerequisite of
         # whichever graph query was requested (hits/kcore build their own
         # layout caches from the shared edge table)
-        t0 = time.time()
-        bench_graph_build(
-            need_pr=only is None or "pagerank" in only,
-            # lpa joins the same symmetrized view as cc
-            need_cc=only is None or bool(only & {"cc", "lpa"}),
-        )
-        timings["graph_build"] = round(time.time() - t0, 3)
+        need_pr = only is None or "pagerank" in only
+        # lpa joins the same symmetrized view as cc
+        need_cc = only is None or bool(only & {"cc", "lpa"})
+        if only is None:
+            run_trials(
+                "graph_build", lambda: bench_graph_build(need_pr, need_cc)
+            )
+        else:
+            # scaling runs (--only pagerank/cc/lpa) time supersteps, not the
+            # build — one build keeps the fresh-JVM trial protocol cheap
+            t0 = time.time()
+            bench_graph_build(need_pr, need_cc)
+            timings["graph_build"] = round(time.time() - t0, 3)
 
     def bench_pagerank():
         max_iter = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITER", "100"))

@@ -12,7 +12,9 @@ corpus is already a pages table, so the same knobs drive a Spark job:
 
 Algorithms: bfs (default — the reference's expand), pagerank, ppr
 (personalized, seeded at ROOT_URL), cc, lpa, triangles, hits, kcore
-(``--k``), linkpred (``--min-common`` / ``--max-center-degree``).
+(``--k``), linkpred (``--min-common`` / ``--max-center-degree``), scc
+(directed components), hyperanf (neighborhood function / effective
+diameter).
 BFS writes the reference's depth-sorted ``;``-CSV when
 ``--list-file`` is given; rank/label algorithms write Parquet. Programmatic
 use (reference entry point 2, ``citation_graph.py:379-384``): call
@@ -60,7 +62,7 @@ def get_arg_parser() -> argparse.ArgumentParser:
         "--algorithm",
         choices=[
             "bfs", "pagerank", "ppr", "cc", "lpa", "triangles",
-            "hits", "kcore", "linkpred",
+            "hits", "kcore", "linkpred", "scc", "hyperanf",
         ],
         default="bfs",
     )
@@ -210,6 +212,27 @@ def run(args: argparse.Namespace) -> int:
             print(
                 f"kcore: k={args.k}, {res.iterations} rounds, "
                 f"{out.count()} core vertices"
+            )
+        elif args.algorithm == "scc":
+            from citation_graph_spark.operators.scc import (
+                strongly_connected_components,
+            )
+
+            res = strongly_connected_components(enc, max_rounds=args.max_iter)
+            out = res.labels
+            print(
+                f"scc: {res.rounds} rounds, converged={res.converged}, "
+                f"{out.select('scc').distinct().count()} components"
+            )
+        elif args.algorithm == "hyperanf":
+            from citation_graph_spark.operators.neighborhood import hyperanf
+
+            res = hyperanf(enc, max_d=args.max_iter if args.max_iter < 100 else 6)
+            out = res.per_vertex
+            nf_str = ", ".join(f"NF({d})≈{v:,.0f}" for d, v in res.nf)
+            print(
+                f"hyperanf: {nf_str}; effective diameter ≈ "
+                f"{res.effective_diameter}"
             )
         elif args.algorithm == "linkpred":
             from citation_graph_spark.operators.linkpred import link_prediction_scores

@@ -207,3 +207,26 @@ def test_cli_new_algorithms(spark, tmp_path):
     lp = spark.read.parquet(out)
     assert lp.columns == ["a", "b", "common", "jaccard", "adamic_adar"]
     assert lp.where("a >= b").count() == 0
+
+
+def test_cli_scc_and_hyperanf(spark, tmp_path):
+    """CLI drive of scc and hyperanf end-to-end from the pages table."""
+    from citation_graph_spark.cli import main
+
+    path = _write_pages(spark, tmp_path, n=120)
+
+    out = str(tmp_path / "scc")
+    rc = main(pages=path, algorithm="scc", output=out, master="local[8]")
+    assert rc == 0
+    labels = spark.read.parquet(out)
+    assert labels.columns == ["id", "scc"]
+    # labels are a partition: every label is itself a member's id
+    ids = {r["id"] for r in labels.collect()}
+    assert {r["scc"] for r in labels.select("scc").distinct().collect()} <= ids
+
+    out = str(tmp_path / "hanf")
+    rc = main(pages=path, algorithm="hyperanf", output=out, max_iter=3, master="local[8]")
+    assert rc == 0
+    pv = spark.read.parquet(out)
+    assert set(pv.columns) == {"id", "d", "rho_sum"}
+    assert pv.select("d").distinct().count() == 3

@@ -101,3 +101,52 @@ def test_extraction_explode_is_map_side(spark):
     # no Exchange anywhere: extraction + posexplode happen where the rows
     # are read; the binary html column never crosses a shuffle
     assert "Exchange" not in plan
+
+
+def test_hyperanf_superstep_is_jvm_side_single_exchange(spark):
+    """One HyperANF superstep: merge join against the dst-sorted register
+    cache + bit_or partial agg — no Python (BatchEvalPython/ArrowEval) in
+    the plan, and the join side reuses the persisted cache with exactly
+    one Exchange+Sort (the state side)."""
+    from citation_graph_spark.operators.neighborhood import _init_register_exprs
+
+    edges = datagen.zipf_edges(spark, 2_000, 20_000, seed=42)
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(8, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    try:
+        e.count()
+        state = spark.range(2_000).select(
+            F.col("id"), *_init_register_exprs(4, seed=7)
+        )
+        step = (
+            state.join(e.hint("merge"), state.id == e.dst)
+            .groupBy(e.src.alias("id"))
+            .agg(*[F.bit_or(f"m{i}").alias(f"n_m{i}") for i in range(4)])
+        )
+        plan = _plan(step, "simple")
+        assert "SortMergeJoin" in plan
+        assert "InMemoryTableScan" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        join_part = plan[plan.index("SortMergeJoin"):plan.index("InMemoryRelation")]
+        assert join_part.count("Exchange") == 1, plan
+        # two-phase (map-side partial) bit_or aggregation
+        assert plan.count("HashAggregate") >= 2, plan
+    finally:
+        e.unpersist()
+
+
+def test_scc_runs_no_python_stages(spark):
+    """The whole SCC loop must stay JVM-side: no row-at-a-time or Arrow
+    Python evaluation anywhere in the final labels plan."""
+    from citation_graph_spark.operators.scc import strongly_connected_components
+
+    edges = datagen.zipf_edges(spark, 500, 1_500, seed=4)
+    res = strongly_connected_components(edges)
+    plan = _plan(res.labels, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
