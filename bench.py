@@ -151,7 +151,9 @@ def main() -> int:
             pg.symmetrized()
         shared["pg"] = pg
 
-    if only is None or only & {"pagerank", "cc", "lpa", "hits", "kcore"}:
+    if only is None or only & {
+        "pagerank", "cc", "lpa", "hits", "kcore", "scc", "hyperanf"
+    }:
         # bypass run()'s --only gating: the build is a prerequisite of
         # whichever graph query was requested (hits/kcore build their own
         # layout caches from the shared edge table)
@@ -340,6 +342,41 @@ def main() -> int:
 
     if only is not None and "kcore" in only:
         timings["kcore"] = bench_kcore()
+
+    def bench_scc():
+        from citation_graph_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        t0 = time.time()
+        res = strongly_connected_components(shared["edges"])
+        n_comp = res.labels.select("scc").distinct().count()
+        dt = round(time.time() - t0, 3)
+        extras["scc_rounds"] = res.rounds
+        extras["scc_converged"] = res.converged
+        extras["scc_components"] = n_comp
+        extras["scc_round_metrics"] = res.history
+        return dt
+
+    if only is not None and "scc" in only:
+        timings["scc"] = bench_scc()
+
+    def bench_hyperanf():
+        from citation_graph_spark.operators.neighborhood import hyperanf
+
+        max_d = int(os.environ.get("SPARK_GRAFT_BENCH_HYPERANF_D", "5"))
+        t0 = time.time()
+        res = hyperanf(shared["edges"], max_d=max_d, k=16)
+        dt = round(time.time() - t0, 3)
+        extras["hyperanf_nf"] = [(d, round(v, 1)) for d, v in res.nf]
+        extras["hyperanf_effective_diameter"] = res.effective_diameter
+        # NF superstep streams the edge table once per distance
+        real_edges = extras["n_edges"]
+        extras["hyperanf_edges_per_sec"] = round(real_edges * max_d / dt, 1)
+        return dt
+
+    if only is not None and "hyperanf" in only:
+        timings["hyperanf"] = bench_hyperanf()
 
     if "pg" in shared:
         shared["pg"].unpersist()
