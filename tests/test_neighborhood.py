@@ -132,3 +132,15 @@ def test_estimate_from_rho_sum_roundtrip():
     assert estimate_from_rho_sum(0, 8) == pytest.approx(1 / 0.77351)
     # doubling the mean rho doubles the estimate exponent
     assert estimate_from_rho_sum(16, 8) == pytest.approx(4 / 0.77351)
+
+
+def test_neighborhood_empty_graph(spark):
+    from pyspark.sql import functions as F
+
+    edges = _edges_df(spark, [(1, 2)]).where(F.lit(False))
+    got = {r["d"]: r["pairs"] for r in neighborhood_function_exact(edges, 2).collect()}
+    assert got == {1: 0, 2: 0}
+    res = hyperanf(edges, max_d=2, k=4)
+    assert res.per_vertex.count() == 0
+    assert res.nf == []
+    assert res.effective_diameter is None

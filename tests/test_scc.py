@@ -110,3 +110,12 @@ def test_scc_duplicate_edges_ignored(spark):
     edges = _edges_df(spark, [(1, 2), (1, 2), (2, 1), (2, 1), (2, 3)])
     res = strongly_connected_components(edges)
     assert _labels(res.labels) == {1: 1, 2: 1, 3: 3}
+
+
+def test_scc_empty_graph(spark):
+    from pyspark.sql import functions as F
+
+    edges = _edges_df(spark, [(1, 2)]).where(F.lit(False))
+    res = strongly_connected_components(edges)
+    assert res.converged
+    assert res.labels.count() == 0
