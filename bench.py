@@ -370,9 +370,25 @@ def main() -> int:
         dt = round(time.time() - t0, 3)
         extras["hyperanf_nf"] = [(d, round(v, 1)) for d, v in res.nf]
         extras["hyperanf_effective_diameter"] = res.effective_diameter
-        # NF superstep streams the edge table once per distance
+        extras["hyperanf_iters"] = max_d
+        # NF superstep streams the edge table once per distance; per-
+        # superstep peak/steady estimators mirror pagerank/cc/lpa so the
+        # scaling-pair protocol can consume this workload too
         real_edges = extras["n_edges"]
         extras["hyperanf_edges_per_sec"] = round(real_edges * max_d / dt, 1)
+        extras["hyperanf_iter_seconds_all"] = [
+            h.get("seconds") for h in res.history
+        ]
+        iter_secs = sorted(h["seconds"] for h in res.history if h.get("seconds"))
+        if iter_secs:
+            extras["hyperanf_iter_seconds_min"] = iter_secs[0]
+            extras["hyperanf_peak_edges_per_sec"] = round(
+                real_edges / iter_secs[0], 1
+            )
+            extras["hyperanf_iter_seconds_median"] = iter_secs[len(iter_secs) // 2]
+            extras["hyperanf_steady_edges_per_sec"] = round(
+                real_edges / iter_secs[len(iter_secs) // 2], 1
+            )
         return dt
 
     if only is not None and "hyperanf" in only:

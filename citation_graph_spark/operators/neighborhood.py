@@ -130,10 +130,13 @@ def hyperanf(
     state.count()
     ctx.record(state, 0)
 
+    import time as _time
+
     per_d: list[DataFrame] = []
     history: list[dict[str, Any]] = []
     try:
         for d in range(1, max_d + 1):
+            _t_iter = _time.time()
             nbr = (
                 state.join(e.hint("merge"), state.id == e.dst)
                 .groupBy(e.src.alias("id"))
@@ -153,7 +156,9 @@ def hyperanf(
             snapshot = snapshot.localCheckpoint(eager=True)  # outlives ctx
             per_d.append(snapshot)
             ctx.record(state, d)
-            history.append({"d": d})
+            history.append(
+                {"d": d, "seconds": round(_time.time() - _t_iter, 3)}
+            )
 
         union = reduce(DataFrame.union, per_d)
         # driver-side estimate: one small agg per d (Σ 2^(rho/k) over v)

@@ -325,12 +325,112 @@ LPA does ~3× the per-edge work of CC — efficiency is within-pair.)
     return 0
 
 
+def run_hyperanf_pair(sf_dir: str, trials: int, history: dict, hist_path: str) -> int:
+    """Fourth-workload scaling pair: HyperANF register propagation — the
+    same protocol (interleaved fresh-JVM trials, per-level best, min-
+    superstep edges/sec normalized by INPUT edges), a fourth distinct
+    superstep body over the same machinery: one merge join against the
+    dst-sorted edge cache + a WIDE map-side-partial aggregation (16
+    parallel ``bit_or`` columns) + a left-join register merge. Geometry
+    matches the LPA pair (1→4 on a 16M-edge graph, fixed 16-partition
+    shuffle layout) for the same reasons documented there."""
+    a, b, n_e, n_v = 1, 4, 16_000_000, 1_600_000
+    pre = "hanf16p16"
+    env = {
+        "SPARK_GRAFT_BENCH_EDGES": str(n_e),
+        "SPARK_GRAFT_BENCH_VERTICES": str(n_v),
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": "16",
+        "SPARK_GRAFT_BENCH_HYPERANF_D": "6",
+    }
+    for _ in range(trials):
+        for lvl in (a, b):
+            history.setdefault(f"{pre}_local[{lvl}]", []).append(
+                run_bench(lvl, sf_dir, "hyperanf", env)
+            )
+            with open(hist_path, "w", encoding="utf-8") as fh:
+                json.dump(history, fh)
+
+    best = {
+        lvl: max(
+            history[f"{pre}_local[{lvl}]"],
+            key=lambda r: throughput(r, "hyperanf"),
+        )
+        for lvl in (a, b)
+    }
+    thr = {lvl: throughput(best[lvl], "hyperanf") for lvl in (a, b)}
+    eff = round(thr[b] / (4.0 * thr[a]), 3)
+    summary = {
+        "workload": "hyperanf",
+        "trials_this_run": trials,
+        f"hyperanf_n_edges_{a}_to_{b}": best[a]["n_edges"],
+        f"hyperanf_scaling_efficiency_{a}_to_{b}": eff,
+        **{
+            f"hyperanf_throughput_local[{lvl}]_edges_per_sec": thr[lvl]
+            for lvl in (a, b)
+        },
+        **{
+            f"{pre}_all_trials_local[{lvl}]": [
+                throughput(r, "hyperanf") for r in history[f"{pre}_local[{lvl}]"]
+            ]
+            for lvl in (a, b)
+        },
+    }
+    print(json.dumps(summary))
+
+    rows = "\n".join(
+        "| local[{l}] | {it} | {t:,.0f} | {trials} |".format(
+            l=lvl,
+            it=best[lvl]["hyperanf_iters"],
+            t=thr[lvl],
+            trials=", ".join(
+                f"{throughput(r, 'hyperanf'):,.0f}"
+                for r in history[f"{pre}_local[{lvl}]"]
+            ),
+        )
+        for lvl in (a, b)
+    )
+    title = "## HyperANF scaling pair (fourth workload)"
+    body = f"""{title}
+
+HyperANF register propagation through the identical protocol
+(interleaved fresh-JVM trials, per-level best, min-superstep edges/sec
+normalized by INPUT edges) — a fourth distinct superstep body over the
+shared machinery: where PageRank sum-aggregates, CC min-aggregates and
+LPA count/argmax-aggregates, HyperANF runs a WIDE bitwise aggregation
+(16 parallel ``bit_or`` columns over BIGINT registers) after the same
+merge-hinted SMJ against a persisted sorted edge cache, then left-joins
+the merged registers back into the state. Efficiency ≥0.8 on a fourth
+shape — including a bitwise agg with 17-column state rows — pins the
+property to the shared layout, not any single aggregate.
+
+Sub-saturation pair is local[{a}]→local[{b}] on a {best[a]['n_edges']:,}-edge
+Zipfian graph (seed 42), 6 distance supersteps, shuffle layout HELD
+FIXED at 16 partitions across both levels (same geometry rationale as
+the LPA pair above).
+
+| parallelism | supersteps | best steady edges/sec | all trials (steady e/s) |
+|---|---|---|---|
+{rows}
+
+**HyperANF scaling efficiency local[{a}] → local[{b}] (fixed 16-partition layout): {eff:.3f}**
+
+(target ≥ 0.8 on the sub-saturation pair; same estimator as the other
+tables; absolute edges/sec are not comparable across workloads —
+HyperANF shuffles ~17 BIGINT columns of state per vertex where CC
+shuffles 2 — efficiency is within-pair.)
+"""
+    _replace_or_append_section(os.path.join(REPO, "BENCH.md"), title, body)
+    return 0
+
+
 def main() -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--workload", default="pagerank", choices=("pagerank", "cc", "lpa")
+        "--workload",
+        default="pagerank",
+        choices=("pagerank", "cc", "lpa", "hyperanf"),
     )
     args = ap.parse_args()
 
@@ -347,6 +447,8 @@ def main() -> int:
         return run_cc_pair(sf_dir, trials, history, hist_path)
     if args.workload == "lpa":
         return run_lpa_pair(sf_dir, trials, history, hist_path)
+    if args.workload == "hyperanf":
+        return run_hyperanf_pair(sf_dir, trials, history, hist_path)
 
     # interleave levels so slow host-noise windows hit all levels equally
     for _ in range(trials):
