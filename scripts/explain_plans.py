@@ -170,6 +170,33 @@ def main() -> int:
     assert plan.count("HashAggregate") >= 2, "degree agg not two-phase"
     sections.append(("k-core peel round: two-phase degree agg + semi-joins", plan))
 
+    # 9. hyperanf superstep: SMJ against the dst-sorted register-message
+    # cache + wide two-phase bit_or agg, zero Python stages
+    from citation_graph_spark.operators.neighborhood import _init_register_exprs
+
+    e_bydst = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(8, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    e_bydst.count()
+    regs = spark.range(10_000).select(F.col("id"), *_init_register_exprs(4, 7))
+    step = (
+        regs.join(e_bydst.hint("merge"), regs.id == e_bydst.dst)
+        .groupBy(e_bydst.src.alias("id"))
+        .agg(*[F.bit_or(f"m{i}").alias(f"n_m{i}") for i in range(4)])
+    )
+    plan = grab(step)
+    assert "SortMergeJoin" in plan, "hyperanf superstep join is not SMJ"
+    assert plan.count("HashAggregate") >= 2, "bit_or agg not two-phase"
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    sections.append(
+        ("HyperANF superstep: SMJ + two-phase wide bit_or agg, no Python", plan)
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w", encoding="utf-8") as fh:
         fh.write(
