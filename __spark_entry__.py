@@ -532,6 +532,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return neighborhood_function_exact(_edges(spark, sf), max_d=3)
 
+    def q_harmonic(spark, sf):
+        # HyperBall harmonic centrality from the SAME sketches as
+        # q_hyperanf (sidecar shared): one conditional-agg pivot + a
+        # fixed-order arithmetic expression per row — both engines execute
+        # the identical IEEE-double expression tree, so the floats agree
+        # to rounding
+        from citation_graph_spark.operators.neighborhood import (
+            harmonic_centrality,
+            hyperanf,
+        )
+
+        res = hyperanf(
+            _edges(spark, sf),
+            max_d=3,
+            k=8,
+            registers_out=f"{_SIDECAR}/hyperanf_regs",
+        )
+        return harmonic_centrality(res.per_vertex, k=8).select(
+            "id", F.round("harmonic", 6).alias("harmonic")
+        )
+
     def q_hyperanf(spark, sf):
         # HyperANF register propagation, compared on the per-vertex INTEGER
         # ρ-sums (bit-exact, no float summation order in the cell); the d=0
@@ -687,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "neighborhood_exact": q_neighborhood_exact,
         "hyperanf": q_hyperanf,
+        "harmonic": q_harmonic,
         "triangles": q_triangles,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_capped": q_minhash_lsh_capped,
@@ -749,13 +771,9 @@ def _hashmin_rounds(rounds: int) -> str:
     return "".join(parts)
 
 
-def _hyperanf_sql(k: int = 8, max_d: int = 3) -> str:
-    """Replays the HyperANF ``bit_or`` supersteps from the stored d=0
-    registers (the sidecar written by ``q_hyperanf``) and emits the
-    per-vertex integer ρ-sums per distance — everything downstream of the
-    xxhash64 register seeding is plain SQL (the same split as the
-    MinHash/SimHash cells). No fixpoint guard: the iteration count is
-    fixed by construction, not a convergence unroll."""
+def _hyperanf_replay_ctes(k: int, max_d: int) -> list[str]:
+    """Shared CTE prefix: replay the ``bit_or`` register supersteps from
+    the sidecar store into r0..r{max_d} (one CTE per distance)."""
     ms = [f"m{i}" for i in range(k)]
     lines = [
         "WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst "
@@ -777,12 +795,57 @@ def _hyperanf_sql(k: int = 8, max_d: int = 3) -> str:
             f"LEFT JOIN n{d} ON r.id = n{d}.id),"
         )
     lines[-1] = lines[-1].rstrip(",")
-    rho = " + ".join(f"CAST(log2((~{m}) & ({m} + 1)) AS INT)" for m in ms)
+    return lines
+
+
+def _rho_sql(k: int, prefix: str = "") -> str:
+    return " + ".join(
+        f"CAST(log2((~{prefix}m{i}) & ({prefix}m{i} + 1)) AS INT)"
+        for i in range(k)
+    )
+
+
+def _hyperanf_sql(k: int = 8, max_d: int = 3) -> str:
+    """Replays the HyperANF ``bit_or`` supersteps from the stored d=0
+    registers (the sidecar written by ``q_hyperanf``) and emits the
+    per-vertex integer ρ-sums per distance — everything downstream of the
+    xxhash64 register seeding is plain SQL (the same split as the
+    MinHash/SimHash cells). No fixpoint guard: the iteration count is
+    fixed by construction, not a convergence unroll."""
+    lines = _hyperanf_replay_ctes(k, max_d)
+    rho = _rho_sql(k)
+    # d=0 included: the engine snapshots the initial registers too (the
+    # harmonic-centrality telescoping needs |B(v,0)| under the SAME
+    # estimator)
     selects = [
         f"SELECT id, {d} AS d, {rho} AS rho_sum FROM r{d}"
-        for d in range(1, max_d + 1)
+        for d in range(0, max_d + 1)
     ]
     return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _harmonic_sql(k: int = 8, max_d: int = 3) -> str:
+    """HyperBall harmonic centrality from the replayed registers — the
+    IDENTICAL fixed-order IEEE-double expression tree as
+    ``harmonic_centrality`` (left-associated sum of per-distance ball
+    increments), so the engines agree to 6-decimal rounding."""
+    lines = _hyperanf_replay_ctes(k, max_d)
+    # per-distance rho as scalar subcolumns via equi-joins on id
+    joins = "".join(
+        f" JOIN r{d} ON r0.id = r{d}.id" for d in range(1, max_d + 1)
+    )
+
+    def ball(d):
+        table = f"r{d}." if d > 0 else "r0."
+        return f"(pow(2.0, ({_rho_sql(k, table)}) / {float(k)}) / 0.77351)"
+
+    hc = f"(({ball(1)} - {ball(0)}) / 1.0)"
+    for d in range(2, max_d + 1):
+        hc = f"{hc} + (({ball(d)} - {ball(d - 1)}) / {float(d)})"
+    return (
+        "\n".join(lines)
+        + f"\nSELECT r0.id AS id, ROUND({hc}, 6) AS harmonic FROM r0{joins}"
+    )
 
 
 def _cc_hashmin_sql(rounds: int) -> str:
@@ -1654,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 3 AS d, COUNT(*) AS pairs FROM r3
         """,
         "hyperanf": _hyperanf_sql(8, 3),
+        "harmonic": _harmonic_sql(8, 3),
         "pagerank_5iter": _pagerank_sql(5),
         "ppr_5iter": _ppr_sql(5),
         "pagerank_weighted_5iter": _pagerank_weighted_sql(5),

@@ -132,7 +132,15 @@ def hyperanf(
 
     import time as _time
 
-    per_d: list[DataFrame] = []
+    # d=0 snapshot: |B(v,0)| estimated with the SAME estimator as every
+    # other radius, so downstream telescoping sums (harmonic centrality)
+    # difference like-with-like (HyperANF §3: centralities use the
+    # estimated ball sizes at every d, including 0)
+    snap0 = state.select(
+        "id", F.lit(0).alias("d"), _rho_sum_expr(k)
+    ).localCheckpoint(eager=True)
+
+    per_d: list[DataFrame] = [snap0]
     history: list[dict[str, Any]] = []
     try:
         for d in range(1, max_d + 1):
@@ -192,6 +200,55 @@ def hyperanf(
         except Exception:
             pass
         ctx.cleanup()
+
+
+def harmonic_centrality(per_vertex: DataFrame, k: int) -> DataFrame:
+    """Harmonic (closeness) centrality from HyperANF ball sketches —
+    HyperBall's headline application (Boldi & Vigna; the technique behind
+    the Facebook four-degrees measurement):
+
+        HC(v) = Σ_{d ≥ 1} (|B(v,d)| − |B(v,d−1)|) / d
+
+    i.e. each newly-reached vertex at distance d contributes 1/d, with
+    every |B| taken from the SAME FM estimator (the telescoping then
+    cancels the estimator's bias to first order). Truncated at the
+    sketch's ``max_d`` — for web graphs past the effective diameter the
+    increments are ~0.
+
+    ``per_vertex`` is :class:`HyperAnfResult`.per_vertex — (id, d,
+    rho_sum) INCLUDING the d=0 rows; ``k`` must match the sketch.
+
+    Shape: ONE conditional-aggregation groupBy pivots the (max_d+1)
+    integer ρ-sums into columns, then HC is a single fixed-order
+    arithmetic expression per row — cheaper than a window (no per-id
+    sort) and DETERMINISTIC to the bit across partitionings (a float
+    SUM() over the increments would re-associate with partitioning; the
+    expression tree cannot). Input is |V|·(max_d+1) integer rows — tiny
+    next to the edge table.
+    """
+    max_d = per_vertex.agg(F.max("d")).first()[0]
+    if max_d is None:
+        return per_vertex.select(
+            "id", F.lit(0.0).alias("harmonic")
+        ).where(F.lit(False))
+    if max_d == 0:  # sketch never propagated: HC ≡ 0
+        return per_vertex.select("id").distinct().select(
+            "id", F.lit(0.0).alias("harmonic")
+        )
+    pivoted = per_vertex.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("d") == d, F.col("rho_sum"))).alias(f"r{d}")
+            for d in range(0, max_d + 1)
+        ]
+    )
+
+    def ball(d):
+        return F.pow(F.lit(2.0), F.col(f"r{d}") / F.lit(float(k))) / F.lit(_PHI)
+
+    hc = (ball(1) - ball(0)) / F.lit(1.0)
+    for d in range(2, max_d + 1):
+        hc = hc + (ball(d) - ball(d - 1)) / F.lit(float(d))
+    return pivoted.select("id", hc.alias("harmonic"))
 
 
 def neighborhood_function_exact(edges: DataFrame, max_d: int = 4) -> DataFrame:

@@ -229,4 +229,4 @@ def test_cli_scc_and_hyperanf(spark, tmp_path):
     assert rc == 0
     pv = spark.read.parquet(out)
     assert set(pv.columns) == {"id", "d", "rho_sum"}
-    assert pv.select("d").distinct().count() == 3
+    assert pv.select("d").distinct().count() == 4  # d = 0..3

@@ -91,6 +91,8 @@ def test_hyperanf_propagation_matches_store_replay(spark, tmp_path):
         (r["id"], r["d"]): r["rho_sum"] for r in res.per_vertex.collect()
     }
     cur = regs
+    for v, ms in cur.items():  # d=0 snapshot = the stored registers
+        assert got[(v, 0)] == sum(rho(m) for m in ms), (v, 0)
     for d in range(1, max_d + 1):
         nxt = {}
         for v, ms in cur.items():
@@ -110,8 +112,15 @@ def test_hyperanf_estimate_within_tolerance(spark):
     edges = datagen.zipf_edges(spark, n_vertices=300, n_edges=1200, seed=5).cache()
     exact = nf_exact_oracle(_edge_list(edges), 4)
     res = hyperanf(edges, max_d=4, k=64)
-    assert [d for d, _ in res.nf] == [1, 2, 3, 4]
+    assert [d for d, _ in res.nf] == [0, 1, 2, 3, 4]
     for d, est in res.nf:
+        if d == 0:
+            # NF(0) = |V| self-pairs; the FM estimator has a KNOWN
+            # small-count bias — for a single-element ball each register's
+            # lowest-zero index is 0 or 1 w.p. 1/2 each, so E[est] =
+            # 2^0.5/φ ≈ 1.83 per vertex (bias fades as balls grow)
+            assert est == pytest.approx(300 * 2**0.5 / 0.77351, rel=0.2)
+            continue
         assert est == pytest.approx(exact[d], rel=0.30), (d, est, exact[d])
     # estimates are monotone in d by construction (registers only gain bits)
     vals = [v for _, v in res.nf]
@@ -124,8 +133,12 @@ def test_hyperanf_deterministic_across_partitionings(spark):
     b = hyperanf(edges.repartition(7), max_d=2, k=8, num_partitions=5)
     rows_a = sorted(map(tuple, a.per_vertex.collect()))
     rows_b = sorted(map(tuple, b.per_vertex.collect()))
-    assert rows_a == rows_b
-    assert a.nf == b.nf
+    assert rows_a == rows_b  # the integer sketch rows are BIT-exact
+    # the NF scalars are float sums over vertices — summation order varies
+    # with partitioning, so they are equal only to fp accumulation noise
+    assert [d for d, _ in a.nf] == [d for d, _ in b.nf]
+    for (_, va), (_, vb) in zip(a.nf, b.nf):
+        assert va == pytest.approx(vb, rel=1e-9)
 
 
 def test_estimate_from_rho_sum_roundtrip():
@@ -144,3 +157,68 @@ def test_neighborhood_empty_graph(spark):
     assert res.per_vertex.count() == 0
     assert res.nf == []
     assert res.effective_diameter is None
+
+
+def harmonic_oracle(edges, max_d):
+    """Exact truncated harmonic centrality: HC(v) = Σ_{u: 0<dist(v,u)≤max_d} 1/dist."""
+    adj = collections.defaultdict(set)
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            adj[s].add(d)
+    out = {}
+    for v in verts:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier and d < max_d:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        out[v] = sum(1.0 / dd for dd in dist.values() if dd > 0)
+    return out
+
+
+def test_harmonic_centrality_vs_exact(spark):
+    from citation_graph_spark.operators.neighborhood import harmonic_centrality
+
+    edges = datagen.zipf_edges(spark, n_vertices=300, n_edges=1200, seed=5).cache()
+    exact = harmonic_oracle(_edge_list(edges), 4)
+    res = hyperanf(edges, max_d=4, k=64)
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(res.per_vertex, k=64).collect()
+    }
+    assert set(got) == set(exact)
+    # per-vertex sketch error is ~1/sqrt(k); the mean over vertices is a
+    # tighter aggregate check, individual vertices get a loose band
+    import statistics
+
+    ratios = [got[v] / exact[v] for v in exact if exact[v] > 10]
+    assert 0.8 <= statistics.fmean(ratios) <= 1.2
+    for v in exact:
+        if exact[v] > 50:  # skip tiny-ball vertices (FM small-count bias)
+            assert got[v] == pytest.approx(exact[v], rel=0.5), v
+
+
+def test_harmonic_centrality_cycle_closed_form(spark):
+    # directed n-cycle: every vertex reaches d=1..max_d at exactly one
+    # vertex per distance -> exact HC = H(max_d) (harmonic number)
+    from citation_graph_spark.operators.neighborhood import harmonic_centrality
+
+    edges = _edges_df(spark, [(i, (i + 1) % 16) for i in range(16)])
+    res = hyperanf(edges, max_d=4, k=256)
+    got = [
+        r["harmonic"]
+        for r in harmonic_centrality(res.per_vertex, k=256).collect()
+    ]
+    h4 = 1 + 0.5 + 1 / 3 + 0.25
+    for v in got:
+        assert v == pytest.approx(h4, rel=0.45)
