@@ -570,6 +570,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_triangles(spark, sf):
         return triangle_counts_per_vertex(dedup_edges(_edges(spark, sf)))
 
+    def q_reciprocity(spark, sf):
+        from citation_graph_spark.operators.metrics import reciprocity
+
+        return reciprocity(_edges(spark, sf))
+
+    def q_assortativity(spark, sf):
+        from citation_graph_spark.operators.metrics import degree_assortativity
+
+        return degree_assortativity(_edges(spark, sf))
+
+    def q_degree_hist(spark, sf):
+        from citation_graph_spark.operators.metrics import degree_histogram
+
+        return degree_histogram(_edges(spark, sf))
+
+    def q_coarsen(spark, sf):
+        # page→host coarsening stand-in: contract vertex ids into 97
+        # pseudo-hosts (id % 97) and aggregate cross-host edge weights
+        from citation_graph_spark.operators.metrics import coarsen
+
+        e = _edges(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        mapping = verts.select("id", (F.col("id") % 97).alias("group"))
+        return coarsen(e, mapping)
+
     def q_minhash_lsh(spark, sf):
         # signatures materialized to the sidecar store; the oracle
         # reproduces banding + bucket join + exact-Jaccard verify from it
@@ -710,6 +739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperanf": q_hyperanf,
         "harmonic": q_harmonic,
         "triangles": q_triangles,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "degree_hist": q_degree_hist,
+        "coarsen": q_coarsen,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash": q_simhash,
@@ -1909,6 +1942,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v.id, CAST(COALESCE(cnt.triangles, 0) AS BIGINT) AS triangles
             FROM verts v LEFT JOIN cnt ON cnt.id = v.id""",
+        # Link reciprocity over the simple graph (operators/metrics.py):
+        # mutual = |{(u,v) ∈ E : (v,u) ∈ E}|, one scalar row.
+        "reciprocity": f"""{_EDGES_CTE},
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+            m AS (
+              SELECT count(*) AS mutual_edges FROM e
+              WHERE EXISTS (
+                SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+            ),
+            t AS (SELECT count(*) AS total_edges FROM e)
+            SELECT mutual_edges, total_edges,
+                   CASE WHEN total_edges = 0 THEN 0.0
+                        ELSE round(CAST(mutual_edges AS DOUBLE)
+                                   / CAST(total_edges AS DOUBLE), 6)
+                   END AS reciprocity
+            FROM m, t""",
+        # Newman directed (out,in) assortativity — exact integer moments
+        # (HUGEINT here, decimal(38,0) engine-side), then the identical
+        # double expression, so the engines agree bit-for-bit.
+        "assortativity": f"""{_EDGES_CTE},
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+            od AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+            ig AS (SELECT dst, count(*) AS y FROM e GROUP BY dst),
+            pe AS (
+              SELECT x, y FROM e
+              JOIN od ON od.src = e.src JOIN ig ON ig.dst = e.dst
+            ),
+            mom AS (
+              SELECT CAST(count(*) AS HUGEINT) AS m,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(y AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(y AS HUGEINT) * y) AS syy
+              FROM pe
+            )
+            SELECT CAST(m AS BIGINT) AS n_edges,
+                   CASE WHEN (m*sxx - sx*sx) <= 0 OR (m*syy - sy*sy) <= 0
+                        THEN NULL
+                        ELSE round(
+                          CAST(m*sxy - sx*sy AS DOUBLE)
+                          / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+                                 * CAST(m*syy - sy*sy AS DOUBLE)), 6)
+                   END AS assortativity
+            FROM mom""",
+        # Log2-binned degree distribution: bin = length(bin(deg))-1 —
+        # integer bit arithmetic in both engines (no fp log2 ambiguity).
+        "degree_hist": f"""{_EDGES_CTE},
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+            od AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+            ig AS (SELECT dst, count(*) AS degree FROM e GROUP BY dst)
+            SELECT 'out' AS side,
+                   CAST(length(bin(degree)) - 1 AS INT) AS bin,
+                   count(*) AS n_vertices,
+                   min(degree) AS min_degree, max(degree) AS max_degree
+            FROM od GROUP BY 2
+            UNION ALL
+            SELECT 'in' AS side, CAST(length(bin(degree)) - 1 AS INT) AS bin,
+                   count(*) AS n_vertices,
+                   min(degree) AS min_degree, max(degree) AS max_degree
+            FROM ig GROUP BY 2""",
+        # Supervertex coarsening (page→host analog): contract id → id % 97,
+        # drop intra-group edges, weight = underlying simple-edge count.
+        "coarsen": f"""{_EDGES_CTE},
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+            SELECT e.src % 97 AS src, e.dst % 97 AS dst,
+                   count(*) AS weight
+            FROM e
+            WHERE e.src % 97 <> e.dst % 97
+            GROUP BY 1, 2""",
         # Local clustering coefficient: the triangles chain above plus the
         # undirected-degree join — lcc = 2T/(d(d−1)), 0 for deg < 2
         # (operators/triangles.py::local_clustering_coefficient).
