@@ -570,6 +570,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_triangles(spark, sf):
         return triangle_counts_per_vertex(dedup_edges(_edges(spark, sf)))
 
+    def q_betweenness(spark, sf):
+        # depth-bounded Brandes from the 4 smallest source ids; raw
+        # sampled sums (the fixed-root quantity an oracle can replay)
+        from citation_graph_spark.operators.betweenness import betweenness
+
+        res = betweenness(_edges(spark, sf), n_roots=4, max_d=3)
+        return res.scores.select(
+            "id", F.round("betweenness", 6).alias("betweenness")
+        )
+
+    def q_betweenness_paths(spark, sf):
+        # the forward state: per-(root, vertex) BFS distance and
+        # shortest-path count — bit-exact integers, no float in the cell
+        from citation_graph_spark.operators.betweenness import betweenness
+
+        res = betweenness(_edges(spark, sf), n_roots=4, max_d=3)
+        return res.per_vertex.select(
+            "root", "id", "dist", F.col("sigma").cast("long").alias("sigma")
+        )
+
     def q_reciprocity(spark, sf):
         from citation_graph_spark.operators.metrics import reciprocity
 
@@ -739,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperanf": q_hyperanf,
         "harmonic": q_harmonic,
         "triangles": q_triangles,
+        "betweenness": q_betweenness,
+        "betweenness_paths": q_betweenness_paths,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "degree_hist": q_degree_hist,
@@ -878,6 +900,88 @@ def _harmonic_sql(k: int = 8, max_d: int = 3) -> str:
     return (
         "\n".join(lines)
         + f"\nSELECT r0.id AS id, ROUND({hc}, 6) AS harmonic FROM r0{joins}"
+    )
+
+
+def _betweenness_ctes(n_roots: int, max_d: int) -> list[str]:
+    """Shared CTE prefix for the Brandes cells: forward BFS levels
+    l0..l{max_d} with per-root first-visit anti-joins and HUGEINT σ sums
+    (the engine's decimal(38,0) twin — both exact integers)."""
+    lines = [
+        "WITH edges AS (SELECT l_orderkey AS src, l_partkey AS dst "
+        "FROM lineitem),",
+        "e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),",
+        f"roots AS (SELECT src AS root FROM e GROUP BY src "
+        f"ORDER BY src LIMIT {n_roots}),",
+        "l0 AS (SELECT root, root AS id, CAST(1 AS HUGEINT) AS sigma "
+        "FROM roots),",
+        "s0 AS (SELECT root, id FROM l0),",
+    ]
+    for d in range(1, max_d + 1):
+        lines.append(
+            f"c{d} AS (SELECT l{d-1}.root AS root, e.dst AS id, "
+            f"sum(l{d-1}.sigma) AS sigma FROM l{d-1} "
+            f"JOIN e ON e.src = l{d-1}.id GROUP BY 1, 2),"
+        )
+        lines.append(
+            f"l{d} AS (SELECT c{d}.root, c{d}.id, c{d}.sigma "
+            f"FROM c{d} ANTI JOIN s{d-1} USING (root, id)),"
+        )
+        lines.append(
+            f"s{d} AS (SELECT root, id FROM s{d-1} "
+            f"UNION ALL SELECT root, id FROM l{d}),"
+        )
+    return lines
+
+
+def _betweenness_paths_sql(n_roots: int = 4, max_d: int = 3) -> str:
+    """Forward Brandes state: (root, id, dist, sigma) — integer-exact."""
+    lines = _betweenness_ctes(n_roots, max_d)
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT root, id, {d} AS dist, CAST(sigma AS BIGINT) AS sigma "
+        f"FROM l{d}"
+        for d in range(0, max_d + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _betweenness_sql(n_roots: int = 4, max_d: int = 3) -> str:
+    """Backward dependency accumulation replayed level-by-level (the same
+    δ(u) = Σ (σ_u/σ_w)(1+δ_w) recursion as operators/betweenness.py, with
+    identical double expressions over identical exact integers), then
+    bc(v) = Σ_{roots, v≠root} δ."""
+    lines = _betweenness_ctes(n_roots, max_d)
+    lines.append(
+        f"d{max_d} AS (SELECT root, id, sigma, 0.0 AS delta FROM l{max_d}),"
+    )
+    for d in range(max_d - 1, -1, -1):
+        lines.append(
+            f"b{d} AS (SELECT u.root AS root, u.id AS id, "
+            f"sum((CAST(u.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) "
+            f"* (1.0 + w.delta)) AS delta "
+            f"FROM l{d} u JOIN e ON e.src = u.id "
+            f"JOIN d{d+1} w ON w.root = u.root AND w.id = e.dst "
+            f"GROUP BY 1, 2),"
+        )
+        lines.append(
+            f"d{d} AS (SELECT u.root, u.id, u.sigma, "
+            f"COALESCE(b{d}.delta, 0.0) AS delta FROM l{d} u "
+            f"LEFT JOIN b{d} ON b{d}.root = u.root AND b{d}.id = u.id),"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT root, id, delta FROM d{d}" for d in range(0, max_d + 1)
+    )
+    lines.append(f"alld AS ({union}),")
+    lines.append("vis AS (SELECT DISTINCT id FROM alld),")
+    lines.append(
+        "bc AS (SELECT id, sum(delta) AS b FROM alld "
+        "WHERE id <> root GROUP BY id)"
+    )
+    return (
+        "\n".join(lines)
+        + "\nSELECT vis.id AS id, round(COALESCE(bc.b, 0.0), 6) AS "
+        "betweenness FROM vis LEFT JOIN bc USING (id)"
     )
 
 
@@ -1751,6 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hyperanf": _hyperanf_sql(8, 3),
         "harmonic": _harmonic_sql(8, 3),
+        "betweenness": _betweenness_sql(4, 3),
+        "betweenness_paths": _betweenness_paths_sql(4, 3),
         "pagerank_5iter": _pagerank_sql(5),
         "ppr_5iter": _ppr_sql(5),
         "pagerank_weighted_5iter": _pagerank_weighted_sql(5),
