@@ -63,6 +63,7 @@ def get_arg_parser() -> argparse.ArgumentParser:
         choices=[
             "bfs", "pagerank", "ppr", "cc", "lpa", "triangles",
             "hits", "kcore", "linkpred", "scc", "hyperanf",
+            "harmonic", "betweenness", "metrics",
         ],
         default="bfs",
     )
@@ -233,6 +234,55 @@ def run(args: argparse.Namespace) -> int:
             print(
                 f"hyperanf: {nf_str}; effective diameter ≈ "
                 f"{res.effective_diameter}"
+            )
+        elif args.algorithm == "harmonic":
+            from citation_graph_spark.operators.neighborhood import (
+                harmonic_centrality,
+                hyperanf,
+            )
+
+            k = 32
+            res = hyperanf(enc, max_d=args.max_iter if args.max_iter < 100 else 6, k=k)
+            out = harmonic_centrality(res.per_vertex, k=k)
+            top = out.orderBy(out.harmonic.desc()).first()
+            print(f"harmonic: top vertex {top['id']} HC≈{top['harmonic']:.2f}")
+        elif args.algorithm == "betweenness":
+            from citation_graph_spark.operators.betweenness import betweenness
+
+            res = betweenness(
+                enc,
+                n_roots=args.k if args.k > 2 else 16,
+                max_d=args.max_iter if args.max_iter < 100 else 4,
+            )
+            out = res.scores
+            top = out.orderBy(out.betweenness.desc()).first()
+            print(
+                f"betweenness: {res.n_roots} roots, top vertex "
+                f"{top['id']} bc≈{top['betweenness']:.2f}"
+            )
+        elif args.algorithm == "metrics":
+            from citation_graph_spark.operators.metrics import (
+                degree_assortativity,
+                reciprocity,
+            )
+
+            r = reciprocity(enc).first()
+            a = degree_assortativity(enc).first()
+            out = enc.sparkSession.createDataFrame(
+                [
+                    (
+                        r["mutual_edges"],
+                        r["total_edges"],
+                        r["reciprocity"],
+                        a["assortativity"],
+                    )
+                ],
+                "mutual_edges long, total_edges long, "
+                "reciprocity double, assortativity double",
+            )
+            print(
+                f"metrics: reciprocity={r['reciprocity']}, "
+                f"assortativity={a['assortativity']}"
             )
         elif args.algorithm == "linkpred":
             from citation_graph_spark.operators.linkpred import link_prediction_scores

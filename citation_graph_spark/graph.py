@@ -108,3 +108,37 @@ class LinkGraph:
         from citation_graph_spark.operators.bfs import bfs_expand
 
         return bfs_expand(self.edges, root=root, max_depth=max_depth, **kwargs)
+
+    def betweenness(self, **kwargs):
+        from citation_graph_spark.operators.betweenness import betweenness
+
+        return betweenness(self.edges, **kwargs)
+
+    def harmonic_centrality(self, max_d: int = 6, k: int = 32, **kwargs):
+        from citation_graph_spark.operators.neighborhood import (
+            harmonic_centrality,
+            hyperanf,
+        )
+
+        res = hyperanf(self.edges, max_d=max_d, k=k, **kwargs)
+        return harmonic_centrality(res.per_vertex, k=k)
+
+    def reciprocity(self) -> DataFrame:
+        from citation_graph_spark.operators.metrics import reciprocity
+
+        return reciprocity(self.edges)
+
+    def degree_assortativity(self) -> DataFrame:
+        from citation_graph_spark.operators.metrics import degree_assortativity
+
+        return degree_assortativity(self.edges)
+
+    def degree_histogram(self) -> DataFrame:
+        from citation_graph_spark.operators.metrics import degree_histogram
+
+        return degree_histogram(self.edges)
+
+    def coarsen(self, mapping: DataFrame, **kwargs) -> "LinkGraph":
+        from citation_graph_spark.operators.metrics import coarsen
+
+        return LinkGraph(edges=coarsen(self.edges, mapping, **kwargs))

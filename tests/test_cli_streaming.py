@@ -230,3 +230,34 @@ def test_cli_scc_and_hyperanf(spark, tmp_path):
     pv = spark.read.parquet(out)
     assert set(pv.columns) == {"id", "d", "rho_sum"}
     assert pv.select("d").distinct().count() == 4  # d = 0..3
+
+
+def test_cli_centralities_and_metrics(spark, tmp_path):
+    """CLI drive of harmonic, betweenness, and the scalar metrics row."""
+    from citation_graph_spark.cli import main
+
+    path = _write_pages(spark, tmp_path, n=120)
+
+    out = str(tmp_path / "harm")
+    rc = main(pages=path, algorithm="harmonic", output=out, max_iter=3, master="local[8]")
+    assert rc == 0
+    hc = spark.read.parquet(out)
+    assert hc.columns == ["id", "harmonic"]
+    assert hc.where("harmonic < 0").count() == 0
+
+    out = str(tmp_path / "bc")
+    rc = main(
+        pages=path, algorithm="betweenness", k=8, max_iter=3,
+        output=out, master="local[8]",
+    )
+    assert rc == 0
+    bc = spark.read.parquet(out)
+    assert bc.columns == ["id", "betweenness"]
+    assert bc.where("betweenness < 0").count() == 0
+
+    out = str(tmp_path / "met")
+    rc = main(pages=path, algorithm="metrics", output=out, master="local[8]")
+    assert rc == 0
+    m = spark.read.parquet(out).first()
+    assert 0.0 <= m["reciprocity"] <= 1.0
+    assert m["total_edges"] >= m["mutual_edges"]

@@ -27,3 +27,28 @@ def test_linkgraph_end_to_end(spark):
     root = datagen.page_url(0)
     bfs = g.bfs(root, max_depth=1)
     assert bfs.visited.where(f"id = '{root}'").count() == 1
+
+
+def test_linkgraph_centralities_and_metrics(spark):
+    from pyspark.sql import functions as F
+
+    pages = datagen.generate_pages(spark, 250, seed=42).cache()
+    g = LinkGraph.from_pages(pages, max_per_src=10, encode="hash").cache()
+
+    bc = g.betweenness(n_roots=4, max_d=2)
+    assert bc.scores.where("betweenness < 0").count() == 0
+
+    hc = g.harmonic_centrality(max_d=2, k=16)
+    assert hc.columns == ["id", "harmonic"]
+
+    rec = g.reciprocity().first()
+    assert 0.0 <= rec["reciprocity"] <= 1.0
+    assert g.degree_assortativity().first()["n_edges"] == rec["total_edges"]
+    assert g.degree_histogram().count() > 0
+
+    mapping = g.vertices().select(
+        F.col("id"), (F.col("id") % 7).alias("group")
+    )
+    host = g.coarsen(mapping)
+    assert host.edges.count() <= rec["total_edges"]
+    assert host.degrees().count() <= 14

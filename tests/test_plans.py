@@ -150,3 +150,29 @@ def test_scc_runs_no_python_stages(spark):
     res = strongly_connected_components(edges)
     plan = _plan(res.labels, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_betweenness_stays_jvm_side_two_phase_aggs(spark):
+    """The Brandes cells must stay JVM-side end to end (no Python eval in
+    either the scores or the forward-state plan) and the sigma/delta
+    groupBys must be two-phase HashAggregates (map-side partials) — the
+    properties the 2·max_d-superstep scale contract depends on."""
+    from citation_graph_spark.operators.betweenness import betweenness
+
+    edges = datagen.zipf_edges(spark, 500, 1_500, seed=4)
+    res = betweenness(edges, n_roots=3, max_d=2)
+    for df in (res.scores, res.per_vertex):
+        plan = _plan(df, "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_assortativity_single_pass_exact_moments(spark):
+    """Assortativity: one global aggregate over the joined edge frame —
+    two-phase (partial + final), no window, no Python, decimal moments."""
+    from citation_graph_spark.operators.metrics import degree_assortativity
+
+    edges = datagen.zipf_edges(spark, 500, 1_500, seed=4)
+    plan = _plan(degree_assortativity(edges), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
