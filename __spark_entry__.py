@@ -570,6 +570,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_triangles(spark, sf):
         return triangle_counts_per_vertex(dedup_edges(_edges(spark, sf)))
 
+    def q_sssp(spark, sf):
+        # weighted shortest paths (w = l_quantity, integral) from the 4
+        # smallest sources — long-typed distances, bit-exact
+        from citation_graph_spark.operators.sssp import sssp
+
+        wedges = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+            F.col("l_quantity").cast("long").alias("weight"),
+        )
+        roots = (
+            wedges.select(F.col("src").alias("root"))
+            .distinct()
+            .orderBy("root")
+            .limit(4)
+        )
+        return sssp(wedges, roots=roots, max_rounds=12).distances
+
     def q_betweenness(spark, sf):
         # depth-bounded Brandes from the 4 smallest source ids; raw
         # sampled sums (the fixed-root quantity an oracle can replay)
@@ -761,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "betweenness": q_betweenness,
         "betweenness_paths": q_betweenness_paths,
+        "sssp": q_sssp,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "degree_hist": q_degree_hist,
@@ -903,6 +922,37 @@ def _harmonic_sql(k: int = 8, max_d: int = 3) -> str:
     )
 
 
+def _sssp_sql(n_roots: int = 4, rounds: int = 12) -> str:
+    """Bellmann-Ford unrolled ``rounds`` times — full relaxation per round
+    (provably the same state as the engine's frontier refinement after the
+    same round count: relaxing an unchanged vertex re-emits candidates the
+    previous min-merge already absorbed). Integer distances, bit-exact."""
+    lines = [
+        "WITH edges AS (SELECT l_orderkey AS src, l_partkey AS dst, "
+        "CAST(l_quantity AS BIGINT) AS w0 FROM lineitem),",
+        "e AS (SELECT src, dst, min(w0) AS w FROM edges "
+        "WHERE src <> dst GROUP BY src, dst),",
+        f"roots AS (SELECT src AS root FROM e GROUP BY src "
+        f"ORDER BY src LIMIT {n_roots}),",
+        "s0 AS (SELECT root, root AS id, CAST(0 AS BIGINT) AS dist "
+        "FROM roots),",
+    ]
+    # MATERIALIZED: each round references the previous one twice; DuckDB
+    # inlines plain CTEs per reference, which doubles the plan per round
+    # (2^rounds blowup — measured: 12 plain rounds never finish)
+    for r in range(1, rounds + 1):
+        lines.append(
+            f"s{r} AS MATERIALIZED (SELECT root, id, min(dist) AS dist FROM ("
+            f"SELECT root, id, dist FROM s{r-1} "
+            f"UNION ALL "
+            f"SELECT s{r-1}.root, e.dst AS id, s{r-1}.dist + e.w AS dist "
+            f"FROM s{r-1} JOIN e ON e.src = s{r-1}.id"
+            f") GROUP BY root, id),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"\nSELECT root, id, dist FROM s{rounds}"
+
+
 def _betweenness_ctes(n_roots: int, max_d: int) -> list[str]:
     """Shared CTE prefix for the Brandes cells: forward BFS levels
     l0..l{max_d} with per-root first-visit anti-joins and HUGEINT σ sums
@@ -919,16 +969,16 @@ def _betweenness_ctes(n_roots: int, max_d: int) -> list[str]:
     ]
     for d in range(1, max_d + 1):
         lines.append(
-            f"c{d} AS (SELECT l{d-1}.root AS root, e.dst AS id, "
+            f"c{d} AS MATERIALIZED (SELECT l{d-1}.root AS root, e.dst AS id, "
             f"sum(l{d-1}.sigma) AS sigma FROM l{d-1} "
             f"JOIN e ON e.src = l{d-1}.id GROUP BY 1, 2),"
         )
         lines.append(
-            f"l{d} AS (SELECT c{d}.root, c{d}.id, c{d}.sigma "
+            f"l{d} AS MATERIALIZED (SELECT c{d}.root, c{d}.id, c{d}.sigma "
             f"FROM c{d} ANTI JOIN s{d-1} USING (root, id)),"
         )
         lines.append(
-            f"s{d} AS (SELECT root, id FROM s{d-1} "
+            f"s{d} AS MATERIALIZED (SELECT root, id FROM s{d-1} "
             f"UNION ALL SELECT root, id FROM l{d}),"
         )
     return lines
@@ -953,11 +1003,11 @@ def _betweenness_sql(n_roots: int = 4, max_d: int = 3) -> str:
     bc(v) = Σ_{roots, v≠root} δ."""
     lines = _betweenness_ctes(n_roots, max_d)
     lines.append(
-        f"d{max_d} AS (SELECT root, id, sigma, 0.0 AS delta FROM l{max_d}),"
+        f"d{max_d} AS MATERIALIZED (SELECT root, id, sigma, 0.0 AS delta FROM l{max_d}),"
     )
     for d in range(max_d - 1, -1, -1):
         lines.append(
-            f"b{d} AS (SELECT u.root AS root, u.id AS id, "
+            f"b{d} AS MATERIALIZED (SELECT u.root AS root, u.id AS id, "
             f"sum((CAST(u.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) "
             f"* (1.0 + w.delta)) AS delta "
             f"FROM l{d} u JOIN e ON e.src = u.id "
@@ -965,7 +1015,7 @@ def _betweenness_sql(n_roots: int = 4, max_d: int = 3) -> str:
             f"GROUP BY 1, 2),"
         )
         lines.append(
-            f"d{d} AS (SELECT u.root, u.id, u.sigma, "
+            f"d{d} AS MATERIALIZED (SELECT u.root, u.id, u.sigma, "
             f"COALESCE(b{d}.delta, 0.0) AS delta FROM l{d} u "
             f"LEFT JOIN b{d} ON b{d}.root = u.root AND b{d}.id = u.id),"
         )
@@ -1857,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic": _harmonic_sql(8, 3),
         "betweenness": _betweenness_sql(4, 3),
         "betweenness_paths": _betweenness_paths_sql(4, 3),
+        "sssp": _sssp_sql(4, 12),
         "pagerank_5iter": _pagerank_sql(5),
         "ppr_5iter": _ppr_sql(5),
         "pagerank_weighted_5iter": _pagerank_weighted_sql(5),

@@ -63,7 +63,7 @@ def get_arg_parser() -> argparse.ArgumentParser:
         choices=[
             "bfs", "pagerank", "ppr", "cc", "lpa", "triangles",
             "hits", "kcore", "linkpred", "scc", "hyperanf",
-            "harmonic", "betweenness", "metrics",
+            "harmonic", "betweenness", "metrics", "sssp",
         ],
         default="bfs",
     )
@@ -259,6 +259,27 @@ def run(args: argparse.Namespace) -> int:
             print(
                 f"betweenness: {res.n_roots} roots, top vertex "
                 f"{top['id']} bc≈{top['betweenness']:.2f}"
+            )
+        elif args.algorithm == "sssp":
+            from pyspark.sql import functions as F
+
+            from citation_graph_spark.operators.sssp import sssp
+
+            roots = (
+                enc.select(F.col("src").alias("root"))
+                .distinct()
+                .orderBy("root")
+                .limit(args.k if args.k > 2 else 4)
+            )
+            res = sssp(
+                enc.select("src", "dst", F.lit(1).alias("weight")),
+                roots=roots,
+                max_rounds=args.max_iter,
+            )
+            out = res.distances
+            print(
+                f"sssp: {res.rounds} rounds, converged={res.converged}, "
+                f"{out.count()} (root, vertex) distances"
             )
         elif args.algorithm == "metrics":
             from citation_graph_spark.operators.metrics import (

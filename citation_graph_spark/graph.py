@@ -109,6 +109,11 @@ class LinkGraph:
 
         return bfs_expand(self.edges, root=root, max_depth=max_depth, **kwargs)
 
+    def sssp(self, roots, weight_col: str = "weight", **kwargs):
+        from citation_graph_spark.operators.sssp import sssp
+
+        return sssp(self.edges, roots=roots, weight_col=weight_col, **kwargs)
+
     def betweenness(self, **kwargs):
         from citation_graph_spark.operators.betweenness import betweenness
 

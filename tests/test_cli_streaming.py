@@ -261,3 +261,15 @@ def test_cli_centralities_and_metrics(spark, tmp_path):
     m = spark.read.parquet(out).first()
     assert 0.0 <= m["reciprocity"] <= 1.0
     assert m["total_edges"] >= m["mutual_edges"]
+
+
+def test_cli_sssp(spark, tmp_path):
+    from citation_graph_spark.cli import main
+
+    path = _write_pages(spark, tmp_path, n=120)
+    out = str(tmp_path / "sssp")
+    rc = main(pages=path, algorithm="sssp", k=4, max_iter=10, output=out, master="local[8]")
+    assert rc == 0
+    d = spark.read.parquet(out)
+    assert set(d.columns) == {"root", "id", "dist"}
+    assert d.where("root = id AND dist <> 0").count() == 0
