@@ -570,6 +570,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_triangles(spark, sf):
         return triangle_counts_per_vertex(dedup_edges(_edges(spark, sf)))
 
+    def q_random_walks(spark, sf):
+        # one deterministic walk per start (8 smallest sources), 6 steps,
+        # seed 7 — integer-exact corpus, replayed bit-for-bit by the oracle
+        from citation_graph_spark.operators.walks import random_walks
+
+        e = _edges(spark, sf)
+        starts = (
+            e.select(F.col("src").alias("start"))
+            .distinct()
+            .orderBy("start")
+            .limit(8)
+        )
+        return random_walks(e, starts=starts, walk_length=6, seed=7).corpus
+
     def q_sssp(spark, sf):
         # weighted shortest paths (w = l_quantity, integral) from the 4
         # smallest sources — long-typed distances, bit-exact
@@ -780,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "betweenness_paths": q_betweenness_paths,
         "sssp": q_sssp,
+        "random_walks": q_random_walks,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "degree_hist": q_degree_hist,
@@ -951,6 +966,47 @@ def _sssp_sql(n_roots: int = 4, rounds: int = 12) -> str:
         )
     lines[-1] = lines[-1].rstrip(",")
     return "\n".join(lines) + f"\nSELECT root, id, dist FROM s{rounds}"
+
+
+def _walks_sql(n_starts: int = 8, length: int = 6, seed: int = 7) -> str:
+    """Replays the deterministic walk chooser step by step: per (walk,
+    step), the next vertex minimizes the SAME int64-exact modular hash
+    (operators/walks.py), ties to the smallest dst — the engine's
+    min(struct(h, v)) equals the two-stage min-h-then-min-v here."""
+    from citation_graph_spark.operators.walks import _K1, _K2, _K3, _P, _seed_mult
+
+    mult = _seed_mult(seed)
+    lines = [
+        "WITH edges AS (SELECT l_orderkey AS src, l_partkey AS dst "
+        "FROM lineitem),",
+        "e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),",
+        f"starts AS (SELECT src AS walk FROM e GROUP BY src "
+        f"ORDER BY src LIMIT {n_starts}),",
+        "w0 AS MATERIALIZED (SELECT walk, walk AS id FROM starts),",
+    ]
+    for t in range(1, length + 1):
+        h = (
+            f"((((e.dst % {_P}) * {_K1} + (w{t-1}.walk % {_P}) * {_K2} "
+            f"+ {t * _K3}) % {_P}) * {mult}) % {_P}"
+        )
+        lines.append(
+            f"c{t} AS MATERIALIZED (SELECT w{t-1}.walk AS walk, {h} AS h, "
+            f"e.dst AS v FROM w{t-1} JOIN e ON e.src = w{t-1}.id),"
+        )
+        lines.append(
+            f"m{t} AS MATERIALIZED (SELECT walk, min(h) AS mh FROM c{t} "
+            f"GROUP BY walk),"
+        )
+        lines.append(
+            f"w{t} AS MATERIALIZED (SELECT c{t}.walk, min(c{t}.v) AS id "
+            f"FROM c{t} JOIN m{t} ON m{t}.walk = c{t}.walk "
+            f"AND c{t}.h = m{t}.mh GROUP BY c{t}.walk),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT walk, {t} AS step, id FROM w{t}" for t in range(0, length + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _betweenness_ctes(n_roots: int, max_d: int) -> list[str]:
@@ -1908,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": _betweenness_sql(4, 3),
         "betweenness_paths": _betweenness_paths_sql(4, 3),
         "sssp": _sssp_sql(4, 12),
+        "random_walks": _walks_sql(8, 6, 7),
         "pagerank_5iter": _pagerank_sql(5),
         "ppr_5iter": _ppr_sql(5),
         "pagerank_weighted_5iter": _pagerank_weighted_sql(5),

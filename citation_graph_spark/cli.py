@@ -63,7 +63,7 @@ def get_arg_parser() -> argparse.ArgumentParser:
         choices=[
             "bfs", "pagerank", "ppr", "cc", "lpa", "triangles",
             "hits", "kcore", "linkpred", "scc", "hyperanf",
-            "harmonic", "betweenness", "metrics", "sssp",
+            "harmonic", "betweenness", "metrics", "sssp", "walks",
         ],
         default="bfs",
     )
@@ -280,6 +280,17 @@ def run(args: argparse.Namespace) -> int:
             print(
                 f"sssp: {res.rounds} rounds, converged={res.converged}, "
                 f"{out.count()} (root, vertex) distances"
+            )
+        elif args.algorithm == "walks":
+            from citation_graph_spark.operators.walks import random_walks
+
+            res = random_walks(
+                enc, walk_length=args.max_iter if args.max_iter < 100 else 8
+            )
+            out = res.corpus
+            print(
+                f"walks: {res.n_walks} walks × ≤{res.walk_length} steps, "
+                f"{out.count()} corpus rows"
             )
         elif args.algorithm == "metrics":
             from citation_graph_spark.operators.metrics import (

@@ -114,6 +114,11 @@ class LinkGraph:
 
         return sssp(self.edges, roots=roots, weight_col=weight_col, **kwargs)
 
+    def random_walks(self, **kwargs):
+        from citation_graph_spark.operators.walks import random_walks
+
+        return random_walks(self.edges, **kwargs)
+
     def betweenness(self, **kwargs):
         from citation_graph_spark.operators.betweenness import betweenness
 

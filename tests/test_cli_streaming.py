@@ -273,3 +273,15 @@ def test_cli_sssp(spark, tmp_path):
     d = spark.read.parquet(out)
     assert set(d.columns) == {"root", "id", "dist"}
     assert d.where("root = id AND dist <> 0").count() == 0
+
+
+def test_cli_walks(spark, tmp_path):
+    from citation_graph_spark.cli import main
+
+    path = _write_pages(spark, tmp_path, n=120)
+    out = str(tmp_path / "walks")
+    rc = main(pages=path, algorithm="walks", max_iter=5, output=out, master="local[8]")
+    assert rc == 0
+    c = spark.read.parquet(out)
+    assert set(c.columns) == {"walk", "step", "id"}
+    assert c.where("step = 0 AND walk <> id").count() == 0
