@@ -152,7 +152,8 @@ def main() -> int:
         shared["pg"] = pg
 
     if only is None or only & {
-        "pagerank", "cc", "lpa", "hits", "kcore", "scc", "hyperanf"
+        "pagerank", "cc", "lpa", "hits", "kcore", "scc", "hyperanf",
+        "betweenness", "sssp", "walks",
     }:
         # bypass run()'s --only gating: the build is a prerequisite of
         # whichever graph query was requested (hits/kcore build their own
@@ -393,6 +394,67 @@ def main() -> int:
 
     if only is not None and "hyperanf" in only:
         timings["hyperanf"] = bench_hyperanf()
+
+    # --- betweenness / sssp / walks (opt-in; bounded-depth workloads whose
+    # wall scales with roots×ball, not a fixed superstep count — reported
+    # with their work metrics so runs are comparable) ---------------------
+    def bench_betweenness():
+        from citation_graph_spark.operators.betweenness import betweenness
+
+        n_roots = int(os.environ.get("SPARK_GRAFT_BENCH_BC_ROOTS", "16"))
+        max_d = int(os.environ.get("SPARK_GRAFT_BENCH_BC_D", "4"))
+        t0 = time.time()
+        res = betweenness(shared["edges"], n_roots=n_roots, max_d=max_d)
+        n_state = res.per_vertex.count()
+        dt = round(time.time() - t0, 3)
+        extras["betweenness_roots"] = n_roots
+        extras["betweenness_max_d"] = max_d
+        extras["betweenness_state_rows"] = n_state
+        extras["betweenness_supersteps"] = len(res.history)
+        return dt
+
+    if only is not None and "betweenness" in only:
+        timings["betweenness"] = bench_betweenness()
+
+    def bench_sssp():
+        from citation_graph_spark.operators.sssp import sssp
+
+        n_roots = int(os.environ.get("SPARK_GRAFT_BENCH_SSSP_ROOTS", "16"))
+        e = shared["edges"].select(
+            "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight")
+        )
+        roots = (
+            e.select(F.col("src").alias("root")).distinct().orderBy("root").limit(n_roots)
+        )
+        t0 = time.time()
+        res = sssp(e, roots=roots, max_rounds=30)
+        n_dist = res.distances.count()
+        dt = round(time.time() - t0, 3)
+        extras["sssp_roots"] = n_roots
+        extras["sssp_rounds"] = res.rounds
+        extras["sssp_converged"] = res.converged
+        extras["sssp_distance_rows"] = n_dist
+        return dt
+
+    if only is not None and "sssp" in only:
+        timings["sssp"] = bench_sssp()
+
+    def bench_walks():
+        from citation_graph_spark.operators.walks import random_walks
+
+        length = int(os.environ.get("SPARK_GRAFT_BENCH_WALK_LEN", "8"))
+        t0 = time.time()
+        res = random_walks(shared["edges"], walk_length=length, seed=1)
+        n_rows = res.corpus.count()
+        dt = round(time.time() - t0, 3)
+        extras["walks_n"] = res.n_walks
+        extras["walks_length"] = length
+        extras["walks_corpus_rows"] = n_rows
+        extras["walks_rows_per_sec"] = round(n_rows / dt, 1)
+        return dt
+
+    if only is not None and "walks" in only:
+        timings["walks"] = bench_walks()
 
     if "pg" in shared:
         shared["pg"].unpersist()
