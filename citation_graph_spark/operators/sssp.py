@@ -57,6 +57,11 @@ def sssp(
     caller's explicit choice to materialize).
     """
     spark = edges.sparkSession
+    # the engine's standard superstep layout: weight-deduped edges hash-
+    # partitioned on the join key and sorted within partitions, persisted
+    # once — every round's frontier SMJ re-sorts only the (small) frontier
+    # side; the merge hint keeps AQE from flipping to a per-round broadcast
+    num_partitions = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     e = (
         edges.select(
             "src", "dst", F.col(weight_col).cast("long").alias("w")
@@ -64,6 +69,8 @@ def sssp(
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
+        .repartition(int(num_partitions), "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     e.count()
@@ -83,7 +90,7 @@ def sssp(
         frontier = state
         for r in range(1, max_rounds + 1):
             cand = (
-                frontier.join(e, frontier["id"] == e["src"])
+                frontier.join(e.hint("merge"), frontier["id"] == e["src"])
                 .groupBy("root", F.col("dst").alias("vid"))
                 .agg(F.min(F.col("dist") + F.col("w")).alias("cand_dist"))
                 .withColumnRenamed("vid", "id")
