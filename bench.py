@@ -451,6 +451,19 @@ def main() -> int:
         extras["walks_length"] = length
         extras["walks_corpus_rows"] = n_rows
         extras["walks_rows_per_sec"] = round(n_rows / dt, 1)
+        # each step streams the edge table once (frontier join) — the same
+        # per-superstep edges/sec estimators as pagerank/cc/lpa/hyperanf so
+        # the scaling-pair protocol can consume this workload too
+        real_edges = extras["n_edges"]
+        extras["walks_iter_seconds_all"] = [h.get("seconds") for h in res.history]
+        iter_secs = sorted(h["seconds"] for h in res.history if h.get("seconds"))
+        if iter_secs:
+            extras["walks_iter_seconds_min"] = iter_secs[0]
+            extras["walks_peak_edges_per_sec"] = round(real_edges / iter_secs[0], 1)
+            extras["walks_iter_seconds_median"] = iter_secs[len(iter_secs) // 2]
+            extras["walks_steady_edges_per_sec"] = round(
+                real_edges / iter_secs[len(iter_secs) // 2], 1
+            )
         return dt
 
     if only is not None and "walks" in only:

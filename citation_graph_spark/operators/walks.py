@@ -100,7 +100,10 @@ def random_walks(
     steps: list[DataFrame] = [state]
     history: list[dict[str, Any]] = []
     try:
+        import time as _time
+
         for t in range(1, walk_length + 1):
+            t0 = _time.time()
             cand = state.join(e, state["id"] == e["src"]).select(
                 "walk",
                 F.struct(
@@ -115,7 +118,9 @@ def random_walks(
                 .localCheckpoint(eager=True)
             )
             n = nxt.count()
-            history.append({"step": t, "walkers": n})
+            history.append(
+                {"step": t, "walkers": n, "seconds": round(_time.time() - t0, 3)}
+            )
             if n == 0:
                 nxt.unpersist()
                 break

@@ -423,6 +423,102 @@ shuffles 2 — efficiency is within-pair.)
     return 0
 
 
+def run_walks_pair(sf_dir: str, trials: int, history: dict, hist_path: str) -> int:
+    """Fifth-workload scaling pair: random-walk corpus generation — the
+    same protocol (interleaved fresh-JVM trials, per-level best, min-
+    superstep edges/sec normalized by INPUT edges), a fifth distinct
+    superstep body: the frontier join against the src-sorted edge cache
+    followed by a MIN-OVER-STRUCT aggregation (the deterministic-hash
+    argmin chooser) — an ordering aggregate over a composite value, where
+    the other pairs sum / min-scalar / count-argmax / bit_or. Geometry
+    matches the LPA/HyperANF pairs (1→4, 16M edges, fixed 16-partition
+    shuffle layout) for the reasons documented there."""
+    a, b, n_e, n_v = 1, 4, 16_000_000, 1_600_000
+    pre = "walks16p16"
+    env = {
+        "SPARK_GRAFT_BENCH_EDGES": str(n_e),
+        "SPARK_GRAFT_BENCH_VERTICES": str(n_v),
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": "16",
+        "SPARK_GRAFT_BENCH_WALK_LEN": "6",
+    }
+    for _ in range(trials):
+        for lvl in (a, b):
+            history.setdefault(f"{pre}_local[{lvl}]", []).append(
+                run_bench(lvl, sf_dir, "walks", env)
+            )
+            with open(hist_path, "w", encoding="utf-8") as fh:
+                json.dump(history, fh)
+
+    best = {
+        lvl: max(
+            history[f"{pre}_local[{lvl}]"],
+            key=lambda r: throughput(r, "walks"),
+        )
+        for lvl in (a, b)
+    }
+    thr = {lvl: throughput(best[lvl], "walks") for lvl in (a, b)}
+    eff = round(thr[b] / (4.0 * thr[a]), 3)
+    summary = {
+        "workload": "walks",
+        "trials_this_run": trials,
+        f"walks_n_edges_{a}_to_{b}": best[a]["n_edges"],
+        f"walks_scaling_efficiency_{a}_to_{b}": eff,
+        **{
+            f"walks_throughput_local[{lvl}]_edges_per_sec": thr[lvl]
+            for lvl in (a, b)
+        },
+        **{
+            f"{pre}_all_trials_local[{lvl}]": [
+                throughput(r, "walks") for r in history[f"{pre}_local[{lvl}]"]
+            ]
+            for lvl in (a, b)
+        },
+    }
+    print(json.dumps(summary))
+
+    rows = "\n".join(
+        "| local[{l}] | {it} | {t:,.0f} | {trials} |".format(
+            l=lvl,
+            it=best[lvl]["walks_length"],
+            t=thr[lvl],
+            trials=", ".join(
+                f"{throughput(r, 'walks'):,.0f}"
+                for r in history[f"{pre}_local[{lvl}]"]
+            ),
+        )
+        for lvl in (a, b)
+    )
+    title = "## Random-walk scaling pair (fifth workload)"
+    body = f"""{title}
+
+Random-walk corpus generation through the identical protocol
+(interleaved fresh-JVM trials, per-level best, min-superstep edges/sec
+normalized by INPUT edges) — a fifth distinct superstep body over the
+shared machinery: where PageRank sum-aggregates, CC min-aggregates, LPA
+count/argmax-aggregates and HyperANF bit_or-aggregates, the walk step
+runs an ORDERING aggregate over a composite value (min over a
+(hash, dst) struct — the deterministic chooser) after the same frontier
+join against the persisted edge cache. Efficiency ≥0.8 on a fifth
+aggregate shape pins the property to the shared layout.
+
+Sub-saturation pair is local[{a}]→local[{b}] on a {best[a]['n_edges']:,}-edge
+Zipfian graph (seed 42), 6 walk steps with every distinct source as a
+walker, shuffle layout HELD FIXED at 16 partitions across both levels
+(same geometry rationale as the LPA pair above).
+
+| parallelism | steps | best steady edges/sec | all trials (steady e/s) |
+|---|---|---|---|
+{rows}
+
+**Walks scaling efficiency local[{a}] → local[{b}] (fixed 16-partition layout): {eff:.3f}**
+
+(target ≥ 0.8 on the sub-saturation pair; same estimator as the other
+tables; within-pair comparison only.)
+"""
+    _replace_or_append_section(os.path.join(REPO, "BENCH.md"), title, body)
+    return 0
+
+
 def main() -> int:
     import argparse
 
@@ -430,7 +526,7 @@ def main() -> int:
     ap.add_argument(
         "--workload",
         default="pagerank",
-        choices=("pagerank", "cc", "lpa", "hyperanf"),
+        choices=("pagerank", "cc", "lpa", "hyperanf", "walks"),
     )
     args = ap.parse_args()
 
@@ -449,6 +545,8 @@ def main() -> int:
         return run_lpa_pair(sf_dir, trials, history, hist_path)
     if args.workload == "hyperanf":
         return run_hyperanf_pair(sf_dir, trials, history, hist_path)
+    if args.workload == "walks":
+        return run_walks_pair(sf_dir, trials, history, hist_path)
 
     # interleave levels so slow host-noise windows hit all levels equally
     for _ in range(trials):

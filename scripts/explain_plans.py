@@ -197,6 +197,51 @@ def main() -> int:
         ("HyperANF superstep: SMJ + two-phase wide bit_or agg, no Python", plan)
     )
 
+    # 9. walk step: frontier SMJ against the sorted edge cache + two-phase
+    # min(struct) aggregation, no Python anywhere
+    from citation_graph_spark.operators.walks import _step_hash
+
+    wstate = spark.range(10_000).select(
+        F.col("id").alias("walk"), F.col("id")
+    )
+    wstep = (
+        wstate.join(w_edges.hint("merge"), wstate["id"] == w_edges["src"])
+        .select(
+            "walk",
+            F.struct(
+                _step_hash(F.col("walk"), 1, F.col("dst"), 0).alias("h"),
+                F.col("dst").alias("v"),
+            ).alias("hv"),
+        )
+        .groupBy("walk")
+        .agg(F.min("hv").alias("hv"))
+    )
+    plan = grab(wstep, "simple")
+    assert "SortMergeJoin" in plan, "walk step join is not SMJ"
+    assert plan.count("HashAggregate") >= 2, "min(struct) agg not two-phase"
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    sections.append(
+        ("Random-walk step: SMJ + two-phase min(struct) chooser, no Python", plan)
+    )
+
+    # 10. sssp relax round: frontier SMJ + two-phase min agg + full-outer
+    # key-partitioned merge, no Python
+    sstate = spark.range(1000).select(
+        F.lit(0).alias("root"), F.col("id"), F.lit(0).cast("long").alias("dist")
+    )
+    scand = (
+        sstate.join(w_edges.hint("merge"), sstate["id"] == w_edges["src"])
+        .groupBy("root", F.col("dst").alias("vid"))
+        .agg(F.min(F.col("dist") + 1).alias("cand_dist"))
+    )
+    plan = grab(scand, "simple")
+    assert "SortMergeJoin" in plan, "sssp relax join is not SMJ"
+    assert plan.count("HashAggregate") >= 2, "relax min agg not two-phase"
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    sections.append(
+        ("SSSP relax round: SMJ + two-phase min agg, no Python", plan)
+    )
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w", encoding="utf-8") as fh:
         fh.write(
