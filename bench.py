@@ -366,8 +366,10 @@ def main() -> int:
         from citation_graph_spark.operators.neighborhood import hyperanf
 
         max_d = int(os.environ.get("SPARK_GRAFT_BENCH_HYPERANF_D", "5"))
+        k = int(os.environ.get("SPARK_GRAFT_BENCH_HYPERANF_K", "16"))
+        extras["hyperanf_k"] = k
         t0 = time.time()
-        res = hyperanf(shared["edges"], max_d=max_d, k=16)
+        res = hyperanf(shared["edges"], max_d=max_d, k=k)
         dt = round(time.time() - t0, 3)
         extras["hyperanf_nf"] = [(d, round(v, 1)) for d, v in res.nf]
         extras["hyperanf_effective_diameter"] = res.effective_diameter
