@@ -123,7 +123,13 @@ def _hash_min(
     sym = prepared.symmetrized()
 
     if state is None:
-        state = vertices_of(edges).select("id", F.col("id").alias("label"))
+        # vertex set from the PreparedGraph's cached flag table (one
+        # aggregation, shared with pagerank/lpa and prebuilt by callers
+        # that pass a prepared graph) instead of a private
+        # union-distinct over the edge table (r06)
+        state = prepared.dangling_flagged().select(
+            "id", F.col("id").alias("label")
+        )
         state = ctx.truncate(state, 0)
         ctx.record(state, 0, {"changed": None})
 

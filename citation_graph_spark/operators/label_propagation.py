@@ -95,7 +95,10 @@ def _lpa_loop(
     sym = prepared.symmetrized()
 
     if state is None:
-        state = vertices_of(edges).select("id", F.col("id").alias("label"))
+        # vertex set from the PreparedGraph's cached flag table (r06; see
+        # components.py — one shared aggregation instead of a private
+        # union-distinct over the edge table)
+        state = prepared.dangling_flagged().select("id", F.col("id").alias("label"))
         state = ctx.truncate(state, 0)
         ctx.record(state, 0, {"changed": None})
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from citation_graph_spark.edges import out_degrees, symmetrize, vertices_of
+from citation_graph_spark.edges import out_degrees
 
 
 def superstep_contribs(
@@ -208,31 +208,34 @@ class PreparedGraph:
         src and sorted within partitions — the CSR-style cache every
         PageRank superstep merge-joins against (only the rank side
         re-sorts). One entry per salt_factor (the salted layout differs)."""
+        from pyspark.sql import Window
+
         key = salt_factor if salt_factor > 1 else 0
         if key not in self._weighted:
+            # Per-src normalizer via a WINDOW over the src-clustered layout
+            # instead of a degree groupBy + join (r06, guide §2.4): the
+            # repartition/bucketed scan already clusters by src, and a
+            # window partitioned by src is computed on that same layout —
+            # so the whole build is ONE Exchange + one sort (zero Exchange
+            # from a bucketed table) instead of two Exchanges + SMJ
+            # (measured A/B in OPTIMIZATION_r06.md). Values are identical:
+            # count()/sum() over the src partition == the joined aggregate.
+            win = Window.partitionBy("src")
             if self.weight_col is not None:
-                tot = self.edges.groupBy("src").agg(
-                    F.sum(F.col(self.weight_col).cast("double")).alias("_tot_w")
+                base = self.edges.select(
+                    "src", "dst", F.col(self.weight_col).cast("double").alias("_wc")
                 )
-                w_edges = (
-                    self.edges.select("src", "dst", self.weight_col)
-                    .join(tot, "src")
-                    .select(
-                        "src",
-                        "dst",
-                        (
-                            F.col(self.weight_col).cast("double") / F.col("_tot_w")
-                        ).alias("w"),
-                    )
+                if not self.pre_partitioned:
+                    base = base.repartition(self.num_partitions, "src")
+                w_edges = base.select(
+                    "src", "dst", (F.col("_wc") / F.sum("_wc").over(win)).alias("w")
                 )
             else:
-                deg = out_degrees(self.edges)
-                w_edges = (
-                    self.edges.select("src", "dst")
-                    .join(deg, "src")
-                    .select(
-                        "src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w")
-                    )
+                base = self.edges.select("src", "dst")
+                if not self.pre_partitioned:
+                    base = base.repartition(self.num_partitions, "src")
+                w_edges = base.select(
+                    "src", "dst", (F.lit(1.0) / F.count("*").over(win)).alias("w")
                 )
             if key > 1:
                 # hub-src splitting: deterministic salt from dst; the rank
@@ -246,32 +249,33 @@ class PreparedGraph:
                     .sortWithinPartitions("src", "salt")
                     .persist()
                 )
-            elif self.pre_partitioned:
-                # bucketed source: the scan is already co-located on src, so
-                # no repartition (= no shuffle). One partition-LOCAL sort is
-                # still added at build time: the join above drops the scan's
-                # reported ordering, and without it every superstep would
-                # re-sort the cached edge side (measured: 2 Sorts/superstep).
-                w_edges = w_edges.sortWithinPartitions("src").persist()
             else:
-                w_edges = (
-                    w_edges.repartition(self.num_partitions, "src")
-                    .sortWithinPartitions("src")
-                    .persist()
-                )
+                # already clustered on src (repartition above, or the
+                # bucketed scan); the window's own sort leaves the
+                # partitions src-ordered, and the explicit local sort
+                # documents the cache's ordering contract (it is elided by
+                # the planner when the child ordering already satisfies it)
+                w_edges = w_edges.sortWithinPartitions("src").persist()
             w_edges.count()
             self._weighted[key] = w_edges
         return self._weighted[key]
 
     def dangling_flagged(self) -> DataFrame:
-        """(id, is_dangling) over all vertices — dangling = no out-edges."""
+        """(id, is_dangling) over all vertices — dangling = no out-edges.
+
+        One aggregation over the endpoint union (r06, guide §2.4): each
+        endpoint votes ``has_out`` (src rows True, dst rows False) and one
+        map-side-partial ``max`` per id replaces the previous three-shuffle
+        shape (union-distinct + src-distinct + SMJ). Same (id, is_dangling)
+        rows: dangling ⇔ the id never appears as a src."""
         if self._flagged is None:
-            verts = vertices_of(self.edges)
-            has_out = self.edges.select(
-                F.col("src").alias("id"), F.lit(False).alias("_has_out")
-            ).distinct()
-            flagged = verts.join(has_out, "id", "left").select(
-                "id", F.coalesce("_has_out", F.lit(True)).alias("is_dangling")
+            votes = self.edges.select(
+                F.col("src").alias("id"), F.lit(True).alias("_has_out")
+            ).unionByName(
+                self.edges.select(F.col("dst").alias("id"), F.lit(False).alias("_has_out"))
+            )
+            flagged = votes.groupBy("id").agg(
+                (~F.max("_has_out")).alias("is_dangling")
             )
             self._flagged = flagged.persist()
             self._n_vertices = self._flagged.count()
@@ -285,11 +289,24 @@ class PreparedGraph:
     # --- cc / lpa static ----------------------------------------------------
     def symmetrized(self) -> DataFrame:
         """Undirected deduped view, hash-partitioned on src and sorted
-        within partitions — the shared superstep cache for CC and LPA."""
+        within partitions — the shared superstep cache for CC and LPA.
+
+        Built with ONE Exchange (r06, guide §2.4): repartition the raw
+        bidirectional union by src FIRST, then dedup — hashpartitioning
+        on [src] satisfies the (src, dst) aggregate's clustered
+        distribution (subset rule), so the distinct runs partition-local
+        with no second shuffle (previously: Exchange on (src,dst) for the
+        distinct, then a second Exchange on src for the layout)."""
         if self._sym is None:
+            fwd = self.edges.select("src", "dst")
+            rev = self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
             sym = (
-                symmetrize(self.edges)
+                fwd.unionByName(rev)
+                .where(F.col("src") != F.col("dst"))
                 .repartition(self.num_partitions, "src")
+                .dropDuplicates(["src", "dst"])
                 .sortWithinPartitions("src")
                 .persist()
             )

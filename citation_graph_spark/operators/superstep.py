@@ -40,10 +40,18 @@ class SuperstepContext:
     _pending_unpersist: DataFrame | None = None
 
     def truncate(self, state: DataFrame, iteration: int) -> DataFrame:
-        """Cut plan lineage via LAZY localCheckpoint: the caller's next
-        action (every operator runs its convergence aggregate right after)
-        materializes the blocks in the SAME job — one job per superstep
-        instead of two.
+        """Cut plan lineage via EAGER localCheckpoint.
+
+        Round 6 measured A/B (scripts/r06_superstep_ab.py, 5-superstep
+        PageRank loops, interleaved trials, 8M edges, local[32]): eager
+        materialization beat the previous lazy variant in every round
+        (min 3.32 s vs 5.88 s; earlier rounds 6.6 vs 11.7, 6.8 vs 17.2).
+        Under AQE the "lazy" variant was never actually lazy anyway —
+        ``localCheckpoint`` calls ``queryExecution.toRdd``, which
+        materializes every shuffle stage of the AdaptiveSparkPlan at
+        truncate() time regardless of the eager flag — so eager only
+        moves the (cheap) result-stage materialization out of the
+        convergence-aggregate job, and measures consistently faster.
 
         The previous iteration's blocks are released in ``record`` (i.e.
         only after the new state is materialized): a localCheckpoint plan
@@ -51,7 +59,7 @@ class SuperstepContext:
         materializes would lose data. Leaving superseded blocks cached is
         not an option either — block churn degrades iteration time
         severalfold within ~10 supersteps (measured)."""
-        new_state = state.localCheckpoint(eager=False)
+        new_state = state.localCheckpoint(eager=True)
         self._pending_unpersist = self._last
         self._last = new_state
         return new_state
