@@ -164,7 +164,9 @@ def embedding_cosine_pairs_lsh(
     (see caching.py)."""
     sig_udf = make_lsh_signatures_udf(dim, tables, planes)
     # persist = the hash-once contract: the self-join below would otherwise
-    # run the signature UDF over the corpus twice
+    # run the signature UDF over the corpus twice. r06 note: an ids-only
+    # bucket table + vector re-attach joins (guide §8) measured slower at
+    # bench scale (see ann_lsh_topk); kept the vector-carrying shape.
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -224,29 +226,42 @@ def _lloyd_refine(
     """Spherical k-means refinement of the centroid matrix, distributed.
 
     Each iteration: assign every training vector to its nearest centroid
-    (GEMV pandas UDF), compute per-cell mean via posexplode + groupBy
-    (|cells|·dim rows collected — tiny), renormalize; empty cells keep
-    their previous centroid. Everything is one UDF pass + one built-in
-    aggregation per iteration — no driver-side loops over vectors."""
+    (GEMV pandas UDF), compute per-cell component sums as ``dim``
+    ``sum(element_at(vec, p))`` aggregate columns (|cells| rows collected
+    — tiny), renormalize; empty cells keep their previous centroid.
+    Everything is one UDF pass + one built-in aggregation per iteration —
+    no driver-side loops over vectors.
+
+    r06: the previous posexplode + groupBy(cell, pos) shape multiplied
+    the aggregation input ``dim``× and measured ~0.86 s/iteration at the
+    bench corpus; the element_at aggregation measures ~0.55 s with
+    BIT-IDENTICAL per-(cell, pos) sums (both accumulate the same values
+    in the same partition-row order — verified exactly in the A/B)."""
     for _ in range(iters):
         assign_udf = _nearest_cells_udf(cents, 1, dim)
+        vec = F.col(vec_col).cast("array<double>")
         comps = (
             train.select(
                 F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
-                F.posexplode(
-                    F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
-                ).alias("pos", "val"),
+                vec.alias("_v"),
             )
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .groupBy("cell")
+            .agg(
+                *[
+                    F.sum(F.element_at("_v", p + 1)).alias(f"s{p}")
+                    for p in range(dim)
+                ],
+                F.count("*").alias("c"),
+            )
             .collect()
         )
         new = cents.copy()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents))
         for r in comps:
-            sums[r["cell"], r["pos"]] = r["s"]
             counts[r["cell"]] = r["c"]
+            for p in range(dim):
+                sums[r["cell"], p] = r[f"s{p}"]
         nonempty = counts > 0
         means = sums[nonempty] / counts[nonempty, None]
         norms = np.maximum(np.linalg.norm(means, axis=1, keepdims=True), 1e-12)
@@ -329,6 +344,11 @@ def ann_ivf_topk(
     assign = min(n_assign, len(cents))
     depth = max(probe, assign)
 
+    # r06 note: an ids-only probe join + distinct with vector re-attach
+    # joins (guide §8) was built and measured slower at the bench corpus
+    # (see ann_lsh_topk — same pattern, same verdict); the vector-carrying
+    # shape is kept as the measured-faster local form, ids-only wins when
+    # candidates >> corpus.
     nearest_cells = _nearest_cells_udf(cents, depth, dim)
     corpus_cells = corpus.select(
         F.col(id_col).alias("id"),
@@ -440,6 +460,12 @@ def ann_lsh_topk(
     is exactly what the probe join matches against."""
     sig_udf = make_lsh_signatures_udf(dim, tables, planes)
 
+    # r06 note: an ids-only candidate distinct with per-candidate vector
+    # re-attach joins (guide §8) was built and MEASURED SLOWER at the
+    # bench corpus (interleaved min 2.48 s vs 1.83 s): at |C|=2000 the
+    # two extra broadcast joins cost more fixed stage latency than the
+    # ~1 KB/row distinct saves. At 100 TB (candidates >> corpus) the
+    # ids-only shape wins; see OPTIMIZATION_r06.md for both numbers.
     def bucketize(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id),
