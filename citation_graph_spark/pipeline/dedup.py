@@ -67,7 +67,11 @@ def shingles(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
     4.2 s → 0.6 s). A separate aliased projection is evaluated once per
     row; CollapseProject keeps it separate because the alias is
     referenced more than once."""
-    with_toks = docs.select("doc_id", tokenize(F.col(text_col)).alias("_toks"))
+    from citation_graph_spark.layout import scan_parallelism_floor
+
+    with_toks = scan_parallelism_floor(docs).select(
+        "doc_id", tokenize(F.col(text_col)).alias("_toks")
+    )
     toks = F.col("_toks")
     # guard: sequence(1, 0) DESCENDS in Spark — short docs need an empty list
     idx = F.when(
@@ -434,7 +438,11 @@ def simhash64(
     aggregation consumes the *re-read* table, so everything downstream of
     the (engine-specific) xxhash64 is reproducible by an external checker
     from the store alone."""
-    toks = docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("tok"))
+    from citation_graph_spark.layout import scan_parallelism_floor
+
+    toks = scan_parallelism_floor(docs).select(
+        "doc_id", F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
     th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     if token_hashes_out is not None:
         th.write.mode("overwrite").parquet(token_hashes_out)
