@@ -88,10 +88,12 @@ def betweenness(
     if roots is None:
         root_df = _default_roots(e, n_roots)
     elif isinstance(roots, DataFrame):
-        root_df = roots.select(F.col(roots.columns[0]).alias("root"))
+        # dedup: a duplicated root would double sigma/delta for that root
+        # and silently inflate betweenness sums (ADVICE r05)
+        root_df = roots.select(F.col(roots.columns[0]).alias("root")).distinct()
     else:
         root_df = spark.createDataFrame(
-            [(int(r),) for r in roots], "root long"
+            [(int(r),) for r in sorted(set(int(r) for r in roots))], "root long"
         )
 
     level0 = root_df.select(
