@@ -158,6 +158,7 @@ def ngram_jaccard_pairs(
     ``result.release_intermediates()`` handle is attached (see
     ``caching.release_on_gc`` for the full pitfall)."""
     sh = shingles(docs, n, text_col).persist()
+    sh.count()  # eager hash-once (see minhash_lsh_pairs, r06)
     if max_df is None:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -192,6 +193,7 @@ def ngram_jaccard_pairs(
             .distinct()
             .persist()
         )
+        candidates.count()  # eager: verify references it 3×
         scored = exact_jaccard_for_candidates(candidates, sh)
         intermediates = (candidates, sh)
     return release_on_gc(
@@ -399,25 +401,40 @@ def minhash_lsh_pairs(
     frame while any derivation of it is in use, or call the attached
     ``result.release_intermediates()`` handle when done (derived-frame
     pitfall: see ``caching.release_on_gc``)."""
-    # persist: the verify step references candidates 3× (two id-prunes +
-    # the intersection join) and shingles 3× — without a shared
-    # materialization each reference would recompute signatures + the
-    # banding self-join from scratch (measured 4× wall at sf0.01). This is
-    # the hash-once contract: shingle/sign/bucket the corpus a single time.
+    # persist + EAGER materialization: the verify step references
+    # candidates 3× (two id-prunes + the intersection join) and shingles
+    # 3× — without a shared materialization each reference would recompute
+    # signatures + the banding self-join from scratch (measured 4× wall at
+    # sf0.01). Counting each persisted intermediate BEFORE the next stage
+    # consumes it matters too (r06): a first action over the whole lazy
+    # chain materializes the not-yet-populated caches from several AQE
+    # branches CONCURRENTLY, computing the same subtree 2-3× (duplicate
+    # 1-task stage pairs in the r06 stage timeline). Interleaved A/B at
+    # sf0.1: first run 9.2-9.5 s lazy → 3.3-4.1 s eager, warm runs
+    # 2.4-2.6 s vs 2.6-2.9 s — eager won every round. This is the
+    # hash-once contract, enforced eagerly; the RESULT stays lazy.
     sh = shingles(docs, n, text_col).persist()
+    sh.count()
+    intermediates: tuple = (sh,)
     sig = _signatures_from_shingles(sh, num_hashes)
     if signatures_out is not None:
+        # the sidecar write materializes signatures; banding re-reads them
         sig.write.mode("overwrite").parquet(signatures_out)
         sig = docs.sparkSession.read.parquet(signatures_out)
+    else:
+        sig = sig.persist()
+        sig.count()
+        intermediates = (sig, sh)
     candidates = _lsh_candidates_from_signatures(
         sig, num_hashes, bands, max_bucket
     ).persist()
+    candidates.count()
     return release_on_gc(
         exact_jaccard_for_candidates(candidates, sh).where(
             F.col("jaccard") >= threshold
         ),
         candidates,
-        sh,
+        *intermediates,
     )
 
 
@@ -519,6 +536,7 @@ def simhash_pairs(
     # external checker can reproduce chunking/capping/verify from it.
     sim = simhash64(docs, text_col, token_hashes_out=token_hashes_out)
     chunks = _simhash_chunks(sim).persist()
+    chunks.count()  # eager hash-once (see minhash_lsh_pairs, r06)
     capped = _cap_buckets(chunks, ["chunk_no", "chunk"], max_bucket)
     x = capped.alias("x")
     y = capped.alias("y")

@@ -172,6 +172,7 @@ def embedding_cosine_pairs_lsh(
         F.col(vec_col).alias("v"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket"),
     ).persist()
+    bucketed.count()  # eager hash-once (see dedup.minhash_lsh_pairs, r06)
     if buckets_out is not None:
         bucketed.select("id", "tbl", "bucket").write.mode("overwrite").parquet(
             buckets_out
